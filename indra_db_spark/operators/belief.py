@@ -1,0 +1,62 @@
+"""Belief scoring — closed-form SimpleScorer analog, no UDF.
+
+Reference: indra_db/belief.py::get_belief + indra.belief.BeliefEngine
+(SimpleScorer): for per-source evidence counts n_s,
+
+    belief = 1 − ∏_s (p_syst_s + p_rand_s ^ n_s)
+
+with evidence counted hierarchy-aware: a statement inherits the evidence of
+the statements that *support* it (more-specific ones), one hop along
+pa_link — matching BeliefEngine.set_hierarchy_probs semantics.
+
+Implementation: explode src_counts → union in one-hop supporting counts →
+re-aggregate → broadcast-join tiny priors → product via exp(Σ log(term))
+(every term > 0 since p_syst > 0). All JVM-side column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compute_belief(
+    pa_statements: DataFrame, pa_link: DataFrame, priors: DataFrame
+) -> DataFrame:
+    """→ (mk_hash, belief)."""
+    own = pa_statements.select(
+        "mk_hash", F.explode("src_counts").alias("source", "n")
+    )
+    # Evidence of supporting (more specific) statements flows to supported.
+    inherited = (
+        pa_link.join(
+            own.withColumnRenamed("mk_hash", "supporting_mk_hash"),
+            "supporting_mk_hash",
+        )
+        .select(
+            F.col("supported_mk_hash").alias("mk_hash"), "source", "n"
+        )
+    )
+    totals = (
+        own.unionByName(inherited)
+        .groupBy("mk_hash", "source")
+        .agg(F.sum("n").alias("n"))
+    )
+    terms = totals.join(F.broadcast(priors), "source").withColumn(
+        "_log_term", F.log(F.col("p_syst") + F.pow(F.col("p_rand"), F.col("n")))
+    )
+    return terms.groupBy("mk_hash").agg(
+        (F.lit(1.0) - F.exp(F.sum("_log_term"))).alias("belief")
+    )
+
+
+def with_belief(
+    pa_statements: DataFrame, pa_link: DataFrame, priors: DataFrame
+) -> DataFrame:
+    """pa_statements with the ``belief`` column filled in."""
+    b = compute_belief(pa_statements, pa_link, priors)
+    return (
+        pa_statements.drop("belief")
+        .join(b, "mk_hash", "left")
+        .withColumn("belief", F.coalesce("belief", F.lit(0.0)))
+    )

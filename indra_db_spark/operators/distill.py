@@ -1,0 +1,30 @@
+"""Distillation — best-content/best-reading selection + exact dupe drop.
+
+Reference: indra_db/util/distill_stmts.py::distill_stmts — per text_ref
+keep the best text_type (fulltext > abstract > title) and the newest reader
+version, and drop exact duplicate raw statements. In the pages model the
+content axis collapses (one text per url), so distill = keep the highest
+``extractor_version`` per (url, extractor), then drop exact dupes per
+(url, mk_hash, source_hash).
+
+Plan shape: a window max over (url, extractor) — one shuffle on url, which
+the downstream dedup groupBy reuses nothing from, so at scale this stage is
+fused by AQE into the extract output partitioning. dropDuplicates is a
+hash-aggregate on the composite key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distill(raw: DataFrame) -> DataFrame:
+    w = Window.partitionBy("url", "extractor")
+    best = F.max("extractor_version").over(w)
+    return (
+        raw.withColumn("_best_version", best)
+        .where(F.col("extractor_version") == F.col("_best_version"))
+        .drop("_best_version")
+        .dropDuplicates(["url", "mk_hash", "source_hash"])
+    )

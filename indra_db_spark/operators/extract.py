@@ -1,0 +1,175 @@
+"""Reading-system analog: pages → mentions + raw statements.
+
+Reference: indra_db/reading/read_db.py orchestrates external reader
+processes (REACH/Sparser/…) over text_content and stores their output as
+``reading`` rows, from which raw statements are extracted. Here the
+"reader" is a deterministic rule grammar (SURVEY.md §8.4) executed as a
+**vectorized mapInPandas** over Arrow batches — no per-row Python at the
+Spark API level, no external processes.
+
+Grammar: within a sentence, ``<A> <trigger> <B> [on <residue><position>]``
+with trigger→type map {activates→Activation, inhibits→Inhibition,
+binds→Complex, phosphorylates→Phosphorylation(+ModCondition)}. Mentions and
+statements are emitted in textual order; only ``lang='en'`` pages are read
+(the reference likewise only reads English content).
+
+Text extraction honours the per-row invariant (BASELINE.json input_hint):
+if ``text`` is non-null it is trusted as-is; otherwise the deterministic
+extractor (§8.2) recomputes it from ``html`` — byte-identical per url at
+any parallelism.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from indra_db_spark.functions.extract_html import extract_text_series
+from indra_db_spark.sources import lexicon as LX
+
+EXTRACTOR_NAME = "rule_reader"
+EXTRACTOR_VERSION = "2.0"
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+# Pre-grounding statement rows; subj/obj carry mention text only.
+_EXTRACTED = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("extractor", T.StringType()),
+        T.StructField("extractor_version", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("subj_text", T.StringType()),
+        T.StructField("obj_text", T.StringType()),
+        T.StructField("residue", T.StringType()),
+        T.StructField("position", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("evidence_text", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+_MENTION_COLS = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("sentence", T.StringType()),
+    ]
+)
+
+
+def _pattern(lexicon: list[str]) -> re.Pattern:
+    # Longest-first alternation so multi-char names win at shared prefixes.
+    ents = "|".join(re.escape(e) for e in sorted(lexicon, key=len, reverse=True))
+    trig = "|".join(LX.TRIGGERS)
+    return re.compile(
+        rf"\b({ents})\s+({trig})\s+({ents})(?:\s+on\s+([A-Z])(\d+))?"
+    )
+
+
+def _resolve_text(pdf: pd.DataFrame) -> pd.Series:
+    text = pdf["text"]
+    missing = text.isna()
+    if missing.any():
+        text = text.copy()
+        text[missing] = extract_text_series(pdf.loc[missing, "html"])
+    return text
+
+
+def extract_statements(
+    pages: DataFrame,
+    extractor_version: str = EXTRACTOR_VERSION,
+    lexicon: list[str] | None = None,
+) -> DataFrame:
+    """pages → pre-grounding statement rows (vectorized)."""
+    lex = lexicon or LX.LEXICON
+
+    def read_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _pattern(lex)
+        for pdf in batches:
+            en = pdf[pdf["lang"] == "en"]
+            if en.empty:
+                continue
+            text = _resolve_text(en)
+            recs: list[tuple] = []
+            for url, warc_ts, lang, t in zip(
+                en["url"], en["warc_ts"], en["lang"], text
+            ):
+                if not t:
+                    continue
+                for sent_idx, sent in enumerate(_SENT_SPLIT.split(t.replace("\n", " "))):
+                    for m in pat.finditer(sent):
+                        recs.append(
+                            (
+                                url,
+                                EXTRACTOR_NAME,
+                                extractor_version,
+                                LX.TRIGGERS[m.group(2)],
+                                m.group(1),
+                                m.group(3),
+                                m.group(4),
+                                m.group(5),
+                                sent_idx,
+                                m.start(),
+                                m.end(),
+                                sent,
+                                warc_ts,
+                                lang,
+                            )
+                        )
+            if recs:
+                yield pd.DataFrame(recs, columns=[f.name for f in _EXTRACTED.fields])
+
+    return pages.mapInPandas(read_batch, _EXTRACTED)
+
+
+def extract_mentions(pages: DataFrame, lexicon: list[str] | None = None) -> DataFrame:
+    """pages → entity mentions table (SURVEY.md §8.1 ``mentions``)."""
+    from indra_db_spark.functions.hashing import fold_md5_64
+
+    lex = lexicon or LX.LEXICON
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ents = "|".join(
+            re.escape(e) for e in sorted(lex, key=len, reverse=True)
+        )
+        pat = re.compile(rf"\b({ents})\b")
+        for pdf in batches:
+            en = pdf[pdf["lang"] == "en"]
+            if en.empty:
+                continue
+            text = _resolve_text(en)
+            recs = []
+            for url, t in zip(en["url"], text):
+                if not t:
+                    continue
+                for sent_idx, sent in enumerate(_SENT_SPLIT.split(t.replace("\n", " "))):
+                    for m in pat.finditer(sent):
+                        recs.append((url, sent_idx, m.start(), m.end(), m.group(1), sent))
+            if recs:
+                yield pd.DataFrame(recs, columns=[f.name for f in _MENTION_COLS.fields])
+
+    out = pages.mapInPandas(scan, _MENTION_COLS)
+    return out.select(
+        "url",
+        fold_md5_64(
+            F.concat_ws("|", "url", F.col("sent_idx").cast("string"),
+                        F.col("start").cast("string"), "text")
+        ).alias("mention_id"),
+        "sent_idx",
+        "start",
+        "end",
+        "text",
+        "sentence",
+    )

@@ -1,0 +1,127 @@
+"""Grounding / entity linking — broadcast-join against the grounding map.
+
+Reference: indra.preassembler.grounding_mapper (gilda-style scored
+candidates), applied during indra_db preassembly; agent-id cleanup is
+indra_db/util/__init__.py::regularize_agent_id (strips redundant
+``CHEBI:CHEBI:``-style prefixes).
+
+Plan shape (scale-critical): the grounding map is a small dim → it is
+resolved FIRST (best candidate per mention text: score desc, then
+lexicographic ``(db_ns, db_id)`` — SURVEY.md W3) so the fact-side join is a
+1:1 **broadcast hash join**, never a shuffle and never a row-multiplying
+join followed by a window over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.hashing import (
+    fold_md5_64,
+    matches_key_expr,
+    raw_id_expr,
+    source_hash_expr,
+)
+from indra_db_spark.functions.textnorm import normalize_text_expr
+
+
+def regularize_agent_id(db_id, db_ns):
+    """Strip a redundant leading ``<ns>:`` from the id (G4)."""
+    prefix = F.concat(db_ns, F.lit(":"))
+    return F.when(
+        db_id.startswith(prefix),
+        F.expr("substring(db_id, length(db_ns) + 2)"),
+    ).otherwise(db_id)
+
+
+def resolve_grounding_map(grounding_map: DataFrame) -> DataFrame:
+    """Best grounding per text_norm (W3 tie-break), ids regularized.
+
+    Runs on the dim side only — thousands of rows, one tiny shuffle.
+    """
+    gm = grounding_map.withColumn(
+        "db_id", regularize_agent_id(F.col("db_id"), F.col("db_ns"))
+    )
+    w = Window.partitionBy("text_norm").orderBy(
+        F.col("score").desc(), F.col("db_ns").asc(), F.col("db_id").asc()
+    )
+    return (
+        gm.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("text_norm", "db_ns", "db_id", "name")
+    )
+
+
+def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
+    norm = normalize_text_expr(F.col(f"{side}_text")).alias(f"_{side}_norm")
+    df = df.withColumn(f"_{side}_norm", norm)
+    g = resolved.select(
+        F.col("text_norm").alias(f"_{side}_norm"),
+        F.col("db_ns").alias(f"_{side}_ns"),
+        F.col("db_id").alias(f"_{side}_id"),
+        F.col("name").alias(f"_{side}_name"),
+    )
+    df = df.join(F.broadcast(g), f"_{side}_norm", "left")
+    agent = F.struct(
+        F.col(f"{side}_text").alias("text"),
+        F.coalesce(F.col(f"_{side}_ns"), F.lit("TEXT")).alias("db_ns"),
+        F.coalesce(F.col(f"_{side}_id"), F.col(f"_{side}_norm")).alias("db_id"),
+        F.coalesce(F.col(f"_{side}_name"), F.col(f"{side}_text")).alias("name"),
+    )
+    return df.withColumn(side, agent).drop(
+        f"_{side}_norm", f"_{side}_ns", f"_{side}_id", f"_{side}_name"
+    )
+
+
+def ground_statements(extracted: DataFrame, grounding_map: DataFrame) -> DataFrame:
+    """Pre-grounding statement rows → ``raw_statements`` (SURVEY.md §8.1).
+
+    Grounds subj and obj via two broadcast joins, builds ModConditions,
+    then computes matches_key / mk_hash / source_hash / raw_id as pure
+    column expressions (whole-stage codegen, §8.3).
+    """
+    resolved = resolve_grounding_map(grounding_map)
+    df = _ground_side(extracted, resolved, "subj")
+    df = _ground_side(df, resolved, "obj")
+
+    mods = F.when(
+        F.col("residue").isNotNull(),
+        F.array(
+            F.struct(
+                F.lit("phosphorylation").alias("mod_type"),
+                F.col("residue").alias("residue"),
+                F.col("position").alias("position"),
+                F.lit(True).alias("is_modified"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<mod_type:string,residue:string,position:string,is_modified:boolean>>"))
+    df = df.withColumn("mods", mods)
+
+    mk = matches_key_expr(F.col("type"), F.col("subj"), F.col("obj"), F.col("mods"))
+    df = df.withColumn("matches_key", mk)
+    # Source identity comes from the crawl host: https://ex<k>.org → src<k>.
+    df = df.withColumn(
+        "source",
+        F.concat(F.lit("src"), F.regexp_extract("url", r"https://ex(\d+)\.org", 1)),
+    )
+    return (
+        df.withColumn("mk_hash", fold_md5_64(F.col("matches_key")))
+        .withColumn("source_hash", source_hash_expr(F.col("source"), F.col("evidence_text")))
+        .withColumn(
+            "raw_id",
+            raw_id_expr(
+                F.col("url"),
+                F.col("extractor"),
+                F.col("extractor_version"),
+                F.col("sent_idx"),
+                F.col("start"),
+                F.col("matches_key"),
+            ),
+        )
+        .select(
+            "raw_id", "url", "extractor", "extractor_version", "type",
+            "subj", "obj", "mods", "mk_hash", "source_hash",
+            "evidence_text", "warc_ts", "lang", "source", "matches_key",
+        )
+    )

@@ -1,0 +1,108 @@
+"""Refinement-hierarchy linking → pa_link (supported ← supporting).
+
+Reference: indra_db/preassembly/preassemble_db.py::DbPreassembler
+._get_support_links + indra.preassembler.Preassembler — pairwise Python
+comparison of statements, batched by type/ontology component to bound the
+O(n²). Re-expressed as an **equi-ized join** (SURVEY.md C6):
+
+  1. explode each statement into all ``(generalized_subj, generalized_obj)``
+     ancestor-key combinations (isa+ closure incl. self — broadcast dim),
+  2. equi-join that against the plain keys of the corpus on
+     ``(type, subj_key, obj_key)``,
+  3. keep pairs where the general side's mods ⊆ the specific side's mods
+     (exact compatibility residual — a column predicate, no UDF),
+  4. drop self-pairs.
+
+Edge semantics match principal_schema.py::PASupportLinks: the **specific**
+statement *supports* the **general** one.
+
+Skew: hub agents (TP53) concentrate join keys → AQE skew-join splitting is
+enabled session-wide; the ancestor explode multiplies rows only by the
+closure depth (shallow for real bio ontologies at the family level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_keys(df: DataFrame) -> DataFrame:
+    """(k1, k2) join keys; Complex is symmetric → sorted pair."""
+    sk = F.concat_ws(":", F.col("subj.db_ns"), F.col("subj.db_id"))
+    ok = F.concat_ws(":", F.col("obj.db_ns"), F.col("obj.db_id"))
+    pair = F.when(F.col("type") == "Complex", F.array_sort(F.array(sk, ok))).otherwise(
+        F.array(sk, ok)
+    )
+    return df.withColumn("k1", pair[0]).withColumn("k2", pair[1])
+
+
+def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame:
+    """pa_statements × isa closure → refinement edges.
+
+    ``isa_closure``: (child_key, parent_key), transitive, NOT reflexive —
+    self is added here.
+    """
+    pa = _pair_keys(
+        pa_statements.select("mk_hash", "type", "subj", "obj", "mods")
+    )
+
+    # Pre-aggregate the closure to child → [ancestors] (dim side, tiny),
+    # so each fact-side generalization is ONE broadcast join + explode —
+    # no fact-table shuffle at all in this stage before the refinement join.
+    anc_sets = isa_closure.groupBy("child_key").agg(
+        F.collect_list("parent_key").alias("_ancs")
+    )
+
+    def generalize(df: DataFrame, col: str) -> DataFrame:
+        anc = anc_sets.select(
+            F.col("child_key").alias(col), F.col("_ancs").alias(f"_{col}_ancs")
+        )
+        return (
+            df.join(F.broadcast(anc), col, "left")
+            .withColumn(
+                f"{col}_gen",
+                F.explode(
+                    F.array_union(
+                        F.array(F.col(col)),
+                        F.coalesce(
+                            F.col(f"_{col}_ancs"), F.array().cast("array<string>")
+                        ),
+                    )
+                ),
+            )
+            .drop(f"_{col}_ancs")
+        )
+
+    specific = generalize(pa, "k1")
+    specific = generalize(specific, "k2")
+
+    general = pa.select(
+        F.col("mk_hash").alias("supported_mk_hash"),
+        F.col("type").alias("g_type"),
+        F.col("k1").alias("g_k1"),
+        F.col("k2").alias("g_k2"),
+        F.col("mods").alias("g_mods"),
+    )
+
+    joined = specific.join(
+        general,
+        (specific["type"] == general["g_type"])
+        & (specific["k1_gen"] == general["g_k1"])
+        & (specific["k2_gen"] == general["g_k2"]),
+    )
+
+    # general's mods ⊆ specific's mods (struct equality inside arrays;
+    # mods is never null — empty array when siteless).
+    mods_subset = F.forall(
+        F.col("g_mods"), lambda m: F.array_contains(F.col("mods"), m)
+    )
+    return (
+        joined.where(F.col("mk_hash") != F.col("supported_mk_hash"))
+        .where(mods_subset)
+        .select(
+            "supported_mk_hash",
+            F.col("mk_hash").alias("supporting_mk_hash"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,217 @@
+"""End-to-end KG construction pipeline (the preassembly DAG).
+
+Reference lifecycle: indra_db/cli — content ingest → reading →
+preassembly (distill → unique-ify → support links → belief) → readonly
+materialization. Here it is ONE Spark lineage, cut into restartable stages
+with per-partition lineage manifests (SURVEY.md §8.8):
+
+    pages ─ extract+ground ─► raw_statements        (partitioned by day)
+          ─ distill+dedup  ─► pa_statements_base, evidence
+          ─ refine         ─► pa_link
+          ─ components     ─► pa_groups
+          ─ belief         ─► pa_statements (final)
+          ─ meta           ─► name_meta, source_meta, agent_interactions
+
+Scale notes: the only wide operations are the dedup groupBys (salted,
+§8.6), the refinement self-join (AQE skew-split), and the CC iterations.
+raw_statements/evidence are day-partitioned (days(warc_ts) — Iceberg-style
+identity partition on the crawl date); pa tables are bucketed by
+pmod(mk_hash, B) so downstream hash-keyed joins co-locate.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indra_db_spark.lineage import LineageLog, fingerprint
+from indra_db_spark.operators import belief as belief_op
+from indra_db_spark.operators import components as cc_op
+from indra_db_spark.operators import dedup as dedup_op
+from indra_db_spark.operators import distill as distill_op
+from indra_db_spark.operators import extract as extract_op
+from indra_db_spark.operators import grounding as ground_op
+from indra_db_spark.operators import meta as meta_op
+from indra_db_spark.operators import refine as refine_op
+from indra_db_spark.sources import dims as dims_mod
+from indra_db_spark.sources import storage
+
+PA_BUCKETS = 16
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+
+
+def _day(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    pages_fingerprint: str,
+    grounding_map: DataFrame | None = None,
+    isa_closure: DataFrame | None = None,
+    priors: DataFrame | None = None,
+    extractor_version: str = extract_op.EXTRACTOR_VERSION,
+    resume: bool = True,
+    n_salts: int = dedup_op.DEFAULT_SALTS,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline; all outputs land under out_dir."""
+    log = LineageLog(out_dir)
+    res = PipelineResult()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    grounding_map = (
+        grounding_map if grounding_map is not None else dims_mod.grounding_map_df(spark)
+    )
+    isa_closure = (
+        isa_closure if isa_closure is not None else dims_mod.isa_closure_df(spark)
+    )
+    priors = priors if priors is not None else dims_mod.source_priors_df(spark)
+
+    def path(table: str) -> str:
+        return f"{out_dir}/{table}"
+
+    def run_stage(stage, fp, builder, table_specs):
+        """table_specs: list of (table_name, df_builder_result_key, partition_cols)."""
+        if resume and log.completed(stage, fp):
+            res.skipped.append(stage)
+            for tbl, _, _ in table_specs:
+                res.tables[tbl] = storage.read_table(spark, path(tbl))
+            res.metrics[stage] = {**(log.read(stage) or {}), "resumed": True}
+            return
+        t0 = time.time()
+        outputs = builder()
+        rows_total = 0
+        extra = {}
+        for tbl, key, part_cols in table_specs:
+            m = storage.write_table(outputs[key], path(tbl), part_cols)
+            rows_total += m.get("row_count", 0)
+            extra[f"{tbl}_rows"] = m.get("row_count")
+            extra[f"{tbl}_snapshot"] = m.get("snapshot_id")
+            res.tables[tbl] = storage.read_table(spark, path(tbl))
+        wall = time.time() - t0
+        part_counts = outputs.pop("_partition_counts", None)
+        log.commit_stage(stage, fp, wall, rows_total, part_counts, **extra)
+        res.metrics[stage] = log.read(stage) or {}
+
+    # ---- stage 1: extract + ground → raw_statements (day-partitioned,
+    # per-partition resume: only days missing from the manifest are read).
+    fp_raw = fingerprint("raw", pages_fingerprint, extractor_version, "v1")
+    stage = "raw_statements"
+    if resume and log.completed(stage, fp_raw):
+        res.skipped.append(stage)
+        res.tables["raw_statements"] = storage.read_table(spark, path("raw_statements"))
+        res.metrics[stage] = {**(log.read(stage) or {}), "resumed": True}
+    else:
+        t0 = time.time()
+        work = pages
+        done_days = log.completed_partitions(stage) if resume else set()
+        stage_rec = log.read(stage)
+        partial_ok = (
+            bool(done_days)
+            and stage_rec is None  # stage not committed, but parts exist
+        )
+        if partial_ok:
+            work = pages.where(~_day("warc_ts").isin(sorted(done_days)))
+        extracted = extract_op.extract_statements(work, extractor_version)
+        raw = ground_op.ground_statements(extracted, grounding_map).withColumn(
+            "day", _day("warc_ts")
+        )
+        mode = "append" if partial_ok else "overwrite"
+        storage.write_table(
+            raw, path("raw_statements"), ["day"], mode=mode, compute_signature=False
+        )
+        back = storage.read_table(spark, path("raw_statements"))
+        pc = {
+            r["day"]: r["n"]
+            for r in back.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rows = sum(pc.values())
+        log.commit_stage(stage, fp_raw, time.time() - t0, rows, pc)
+        res.tables["raw_statements"] = back
+        res.metrics[stage] = log.read(stage) or {}
+
+    raw = res.tables["raw_statements"]
+
+    # ---- stage 2: distill + dedup → pa_statements_base + evidence
+    fp_pa = fingerprint("pa", fp_raw, n_salts, "v1")
+
+    def build_pa():
+        distilled = distill_op.distill(raw)
+        pa = dedup_op.build_pa_statements(distilled, n_salts).withColumn(
+            "bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS))
+        )
+        ev = dedup_op.build_evidence(distilled)
+        return {"pa": pa, "ev": ev}
+
+    run_stage(
+        "pa_base",
+        fp_pa,
+        build_pa,
+        [
+            ("pa_statements_base", "pa", ["bucket"]),
+            ("evidence", "ev", None),
+        ],
+    )
+    pa_base = res.tables["pa_statements_base"]
+
+    # ---- stage 3: refinement links
+    fp_link = fingerprint("link", fp_pa, "v1")
+    run_stage(
+        "pa_link",
+        fp_link,
+        lambda: {"link": refine_op.build_pa_link(pa_base, isa_closure)},
+        [("pa_link", "link", None)],
+    )
+    pa_link = res.tables["pa_link"]
+
+    # ---- stage 4: connected components (related-statement groups)
+    fp_cc = fingerprint("cc", fp_link, "v1")
+    run_stage(
+        "components",
+        fp_cc,
+        lambda: {"cc": cc_op.assign_components(pa_base, pa_link)},
+        [("pa_groups", "cc", None)],
+    )
+
+    # ---- stage 5: belief → final pa_statements
+    fp_belief = fingerprint("belief", fp_link, "v1")
+
+    def build_final():
+        final = belief_op.with_belief(pa_base, pa_link, priors).withColumn(
+            "bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS))
+        )
+        return {"final": final}
+
+    run_stage(
+        "belief", fp_belief, build_final, [("pa_statements", "final", ["bucket"])]
+    )
+    pa_final = res.tables["pa_statements"]
+
+    # ---- stage 6: readonly-style meta tables
+    fp_meta = fingerprint("meta", fp_belief, "v1")
+    run_stage(
+        "meta",
+        fp_meta,
+        lambda: {
+            "name_meta": meta_op.build_name_meta(pa_final),
+            "source_meta": meta_op.build_source_meta(pa_final),
+            "agent_interactions": meta_op.build_agent_interactions(pa_final),
+        },
+        [
+            ("name_meta", "name_meta", None),
+            ("source_meta", "source_meta", None),
+            ("agent_interactions", "agent_interactions", None),
+        ],
+    )
+    return res

