@@ -55,8 +55,13 @@ def with_belief(
 ) -> DataFrame:
     """pa_statements with the ``belief`` column filled in."""
     b = compute_belief(pa_statements, pa_link, priors)
-    return (
+    out = (
         pa_statements.drop("belief")
         .join(b, "mk_hash", "left")
         .withColumn("belief", F.coalesce("belief", F.lit(0.0)))
+    )
+    # registry column order (schemas.PA_STATEMENTS)
+    return out.select(
+        "mk_hash", "matches_key", "type", "subj", "obj", "mods",
+        "ev_count", "src_counts", "belief", "agent_count",
     )

@@ -76,6 +76,17 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
 
     specific = generalize(pa, "k1")
     specific = generalize(specific, "k2")
+    # Complex pairs are kept sorted; generalizing one member can flip the
+    # order (FPLX:… < HGNC:…), so re-sort the generalized pair before the
+    # equi-join or symmetric matches are silently missed.
+    is_cplx = F.col("type") == "Complex"
+    specific = specific.withColumn(
+        "_j1",
+        F.when(is_cplx, F.least("k1_gen", "k2_gen")).otherwise(F.col("k1_gen")),
+    ).withColumn(
+        "_j2",
+        F.when(is_cplx, F.greatest("k1_gen", "k2_gen")).otherwise(F.col("k2_gen")),
+    )
 
     general = pa.select(
         F.col("mk_hash").alias("supported_mk_hash"),
@@ -88,8 +99,8 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
     joined = specific.join(
         general,
         (specific["type"] == general["g_type"])
-        & (specific["k1_gen"] == general["g_k1"])
-        & (specific["k2_gen"] == general["g_k2"]),
+        & (specific["_j1"] == general["g_k1"])
+        & (specific["_j2"] == general["g_k2"]),
     )
 
     # general's mods ⊆ specific's mods (struct equality inside arrays;

@@ -47,7 +47,7 @@ def _h(seed: int, i: int, j: int, k: int) -> int:
     return x
 
 
-def page_spec(i: int, seed: int = 42) -> dict:
+def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
     """Structured spec of page ``i`` — the single source of truth shared by
     the HTML renderer and the pure-Python expected-triples twin."""
     lang = LANGS[i % 5]
@@ -80,7 +80,7 @@ def page_spec(i: int, seed: int = 42) -> dict:
     return {
         "url": f"https://ex{src}.org/doc/{i:06d}",
         "warc_ts": dt.datetime(2024, 1, 1)
-        + dt.timedelta(seconds=(i * 137) % _CRAWL_WINDOW_S),
+        + dt.timedelta(seconds=(i * ts_stride_s) % _CRAWL_WINDOW_S),
         "lang": lang,
         "sentences": sentences,
         "i": i,
@@ -117,14 +117,15 @@ def render_page(spec: dict, seed: int = 42) -> dict:
     }
 
 
-def pages_pandas(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
-    rows = [render_page(page_spec(i, seed), seed) for i in range(start, start + n)]
+def pages_pandas(n: int, seed: int = 42, start: int = 0, ts_stride_s: int = 137) -> pd.DataFrame:
+    rows = [render_page(page_spec(i, seed, ts_stride_s), seed) for i in range(start, start + n)]
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
     pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
     return pdf
 
 
-def synth_pages(spark, n: int, seed: int = 42, partitions: int | None = None):
+def synth_pages(spark, n: int, seed: int = 42, partitions: int | None = None,
+                ts_stride_s: int = 137):
     """Distributed pages generator: spark.range → mapInPandas (Arrow).
 
     Output is identical for any ``partitions`` value — generation is a pure
@@ -138,7 +139,7 @@ def synth_pages(spark, n: int, seed: int = 42, partitions: int | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].tolist()
-            rows = [render_page(page_spec(int(i), seed), seed) for i in ids]
+            rows = [render_page(page_spec(int(i), seed, ts_stride_s), seed) for i in ids]
             pdf = pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

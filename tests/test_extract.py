@@ -1,0 +1,93 @@
+"""Text extraction byte-identity + reader-grammar units (FIXTURES.md §A6)."""
+
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.extract_html import extract_text_py, extract_text_series
+from indra_db_spark.operators.extract import extract_mentions, extract_statements
+from indra_db_spark.sources.synth import pages_pandas, synth_pages
+
+import pandas as pd
+
+
+def test_extractor_spec():
+    html = (
+        b"<html><head><script>var x = 1 < 2;</script><style>p{}</style></head>"
+        b"<body>\n<p>A  activates\tB.</p>\r\n<div> C binds D. </div>\n\n</body></html>"
+    )
+    assert extract_text_py(html) == "A activates B.\nC binds D."
+
+
+def test_extract_series_equals_scalar():
+    pdf = pages_pandas(80, seed=42)
+    got = extract_text_series(pdf["html"]).tolist()
+    want = [extract_text_py(h) for h in pdf["html"]]
+    assert got == want
+
+
+def test_text_column_matches_extraction():
+    # The per-row invariant: stored text == extract(html), byte-identical.
+    pdf = pages_pandas(120, seed=42)
+    for h, t in zip(pdf["html"], pdf["text"]):
+        if t is not None:
+            assert extract_text_py(h) == t
+
+
+def test_extraction_parallelism_invariant(spark):
+    """Same pages at 1 vs 8 partitions → identical extracted rows."""
+    a = synth_pages(spark, 150, partitions=1)
+    b = synth_pages(spark, 150, partitions=8)
+    cols = ["url", "sent_idx", "start", "type", "subj_text", "obj_text"]
+    ra = sorted(map(tuple, extract_statements(a).select(*cols).collect()))
+    rb = sorted(map(tuple, extract_statements(b).select(*cols).collect()))
+    assert ra == rb and len(ra) > 0
+
+
+def test_statement_grammar(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1"],
+            "warc_ts": [pd.Timestamp("2024-01-01")],
+            "html": [None],
+            "text": [
+                "TP53GEN activates MDM2GEN. EGFRGEN phosphorylates AKT1GEN on T308. "
+                "DECOYA binds KRASGEN. TP53GEN inhibits nothing here."
+            ],
+            "lang": ["en"],
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    rows = extract_statements(pages).orderBy("sent_idx").collect()
+    got = [(r["type"], r["subj_text"], r["obj_text"], r["residue"], r["position"]) for r in rows]
+    assert got == [
+        ("Activation", "TP53GEN", "MDM2GEN", None, None),
+        ("Phosphorylation", "EGFRGEN", "AKT1GEN", "T", "308"),
+        ("Complex", "DECOYA", "KRASGEN", None, None),
+    ]
+    assert all(r["evidence_text"].endswith(".") for r in rows)
+
+
+def test_non_english_skipped(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1"],
+            "warc_ts": [pd.Timestamp("2024-01-01")],
+            "html": [None],
+            "text": ["TP53GEN activates MDM2GEN."],
+            "lang": ["fr"],
+        }
+    )
+    assert extract_statements(spark.createDataFrame(pdf)).count() == 0
+
+
+def test_mentions(spark):
+    pages = synth_pages(spark, 40)
+    m = extract_mentions(pages)
+    assert m.where(F.col("mention_id").isNull()).count() == 0
+    # every statement's subject must appear as a mention on the same url
+    stmts = extract_statements(pages).select("url", "subj_text").distinct()
+    missing = stmts.join(
+        m.select("url", F.col("text").alias("subj_text")).distinct(),
+        ["url", "subj_text"],
+        "left_anti",
+    )
+    assert missing.count() == 0

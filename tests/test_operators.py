@@ -1,0 +1,234 @@
+"""Per-operator unit tests: grounding tie-break, distill, salted dedup,
+refinement edges, connected components, belief formula."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark import schemas
+from indra_db_spark.operators.belief import compute_belief
+from indra_db_spark.operators.components import connected_components
+from indra_db_spark.operators.dedup import build_pa_statements, salted_counts
+from indra_db_spark.operators.distill import distill
+from indra_db_spark.operators.extract import extract_statements
+from indra_db_spark.operators.grounding import ground_statements, resolve_grounding_map
+from indra_db_spark.operators.refine import build_pa_link
+from indra_db_spark.sources import dims
+from indra_db_spark.sources.synth import synth_pages
+
+
+# ---------------------------------------------------------------- grounding
+def _mini_pages(spark, text):
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://ex3.org/doc/000001"],
+            "warc_ts": [pd.Timestamp("2024-01-01")],
+            "html": [None],
+            "text": [text],
+            "lang": ["en"],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _ground(spark, text):
+    raw = extract_statements(_mini_pages(spark, text))
+    return ground_statements(raw, dims.grounding_map_df(spark)).collect()
+
+
+def test_grounding_score_tiebreak(spark):
+    # AMBIG1: HGNC 0.9 beats CHEBI 0.6
+    (r,) = _ground(spark, "AMBIG1 activates MDM2GEN.")
+    assert (r["subj"]["db_ns"], r["subj"]["db_id"]) == ("HGNC", "9001")
+
+
+def test_grounding_lexicographic_tiebreak(spark):
+    # AMBIG2: score tie 0.7/0.7 → lexicographic (db_ns, db_id): CHEBI < HGNC
+    (r,) = _ground(spark, "AMBIG2 activates MDM2GEN.")
+    assert (r["subj"]["db_ns"], r["subj"]["db_id"]) == ("CHEBI", "8002")
+
+
+def test_grounding_text_fallback(spark):
+    (r,) = _ground(spark, "DECOYA activates MDM2GEN.")
+    assert (r["subj"]["db_ns"], r["subj"]["db_id"]) == ("TEXT", "decoya")
+    assert r["subj"]["name"] == "DECOYA"
+
+
+def test_grounding_regularizes_double_prefix(spark):
+    # grounding map stores CHEBI ids as 'CHEBI:5000x' on purpose (G4)
+    (r,) = _ground(spark, "ASPIRINCHEM inhibits TP53GEN.")
+    assert r["subj"]["db_ns"] == "CHEBI"
+    assert not r["subj"]["db_id"].startswith("CHEBI:")
+    # and the hub gene got its fixture id
+    assert (r["obj"]["db_ns"], r["obj"]["db_id"]) == ("HGNC", "11998")
+
+
+def test_resolve_grounding_map_one_row_per_text(spark):
+    resolved = resolve_grounding_map(dims.grounding_map_df(spark))
+    dup = resolved.groupBy("text_norm").count().where("count > 1")
+    assert dup.count() == 0
+
+
+# ------------------------------------------------------------------ distill
+def test_distill_keeps_best_version_and_drops_exact_dupes(spark):
+    pages = synth_pages(spark, 60)
+    gm = dims.grounding_map_df(spark)
+    new = ground_statements(extract_statements(pages, "2.0"), gm)
+    old = ground_statements(extract_statements(pages, "1.0"), gm)
+    both = new.unionByName(old)
+    d = distill(both)
+    assert d.where(F.col("extractor_version") == "1.0").count() == 0
+    assert d.count() == distill(new).count()
+    # idempotent
+    assert distill(d).count() == d.count()
+
+
+# -------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def raw_small(spark):
+    pages = synth_pages(spark, 400)  # includes hub-key skew by construction
+    raw = ground_statements(
+        extract_statements(pages), dims.grounding_map_df(spark)
+    )
+    return distill(raw).cache()
+
+
+def test_salted_equals_naive_counts(spark, raw_small):
+    naive = {
+        r["mk_hash"]: r["n"]
+        for r in raw_small.groupBy("mk_hash").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["mk_hash"]: r["n"] for r in salted_counts(raw_small, ["mk_hash"]).collect()
+    }
+    assert naive == salted
+
+
+def test_salted_pa_equals_unsalted_pa(spark, raw_small):
+    a = build_pa_statements(raw_small, n_salts=64)
+    b = build_pa_statements(raw_small, n_salts=1)  # degenerate = naive
+    cols = ["mk_hash", "matches_key", "type", "ev_count", "agent_count"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
+
+
+def test_hub_key_exists(raw_small):
+    # the synthetic corpus really is skewed: hub triple dominates
+    top = (
+        raw_small.groupBy("mk_hash", "matches_key")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert "HGNC:11998" in top["matches_key"]
+
+
+# --------------------------------------------------------------- refinement
+def _pa_row(mk, typ, s_ns, s_id, o_ns, o_id, mods=None):
+    return (
+        mk,
+        f"{typ}({s_ns}:{s_id}, {o_ns}:{o_id})",
+        typ,
+        (s_ns, s_id, s_id),
+        (o_ns, o_id, o_id),
+        mods or [],
+        1,
+        {"src0": 1},
+        0.0,
+        2,
+    )
+
+
+@pytest.fixture()
+def tiny_pa(spark):
+    mod = ("phosphorylation", "S", "15", True)
+    rows = [
+        _pa_row(1, "Activation", "HGNC", "11998", "HGNC", "10001"),   # TP53 → X
+        _pa_row(2, "Activation", "FPLX", "P53FAM", "HGNC", "10001"),  # fam → X (general)
+        _pa_row(3, "Activation", "HGNC", "11998", "HGNC", "10002"),   # different obj
+        _pa_row(4, "Phosphorylation", "HGNC", "1", "HGNC", "2", [mod]),
+        _pa_row(5, "Phosphorylation", "HGNC", "1", "HGNC", "2"),      # siteless (general)
+        _pa_row(6, "Inhibition", "HGNC", "11998", "HGNC", "10001"),   # wrong type
+    ]
+    return spark.createDataFrame(rows, schemas.PA_STATEMENTS)
+
+
+def test_refinement_edges(spark, tiny_pa):
+    links = {
+        (r["supported_mk_hash"], r["supporting_mk_hash"])
+        for r in build_pa_link(tiny_pa, dims.isa_closure_df(spark)).collect()
+    }
+    # specific (supporting) → general (supported)
+    assert links == {(2, 1), (5, 4)}
+
+
+def test_complex_symmetric_refinement(spark):
+    rows = [
+        _pa_row(10, "Complex", "HGNC", "11998", "HGNC", "10001"),
+        # same members in the other textual order, family-generalized subj:
+        _pa_row(11, "Complex", "HGNC", "10001", "FPLX", "P53FAM"),
+    ]
+    pa = spark.createDataFrame(rows, schemas.PA_STATEMENTS)
+    links = {
+        (r["supported_mk_hash"], r["supporting_mk_hash"])
+        for r in build_pa_link(pa, dims.isa_closure_df(spark)).collect()
+    }
+    assert links == {(11, 10)}
+
+
+# --------------------------------------------------------------- components
+def test_connected_components_known_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "supported_mk_hash long, supporting_mk_hash long",
+    )
+    cc = {
+        r["mk_hash"]: r["component_id"] for r in connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_chain(spark):
+    # long path graph — exercises multiple star iterations
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "supported_mk_hash long, supporting_mk_hash long"
+    )
+    cc = connected_components(edges)
+    assert cc.select("component_id").distinct().count() == 1
+    assert cc.count() == n + 1
+
+
+# ------------------------------------------------------------------- belief
+def test_belief_formula_hand_computed(spark):
+    pa = spark.createDataFrame(
+        [
+            (1, {"src0": 2}),           # 1 - (0.05 + 0.3^2) = 0.86
+            (2, {"src0": 1, "src1": 1}),  # 1 - 0.35^2 = 0.8775
+        ],
+        "mk_hash long, src_counts map<string,long>",
+    )
+    no_links = spark.createDataFrame([], schemas.PA_LINK)
+    b = {
+        r["mk_hash"]: r["belief"]
+        for r in compute_belief(pa, no_links, dims.source_priors_df(spark)).collect()
+    }
+    assert math.isclose(b[1], 1 - (0.05 + 0.09))
+    assert math.isclose(b[2], 1 - 0.35**2)
+
+
+def test_belief_inherits_supporting_evidence(spark):
+    pa = spark.createDataFrame(
+        [(1, {"src0": 1}), (2, {"src0": 1})],
+        "mk_hash long, src_counts map<string,long>",
+    )
+    links = spark.createDataFrame([(1, 2)], schemas.PA_LINK)  # 2 supports 1
+    b = {
+        r["mk_hash"]: r["belief"]
+        for r in compute_belief(pa, links, dims.source_priors_df(spark)).collect()
+    }
+    assert math.isclose(b[1], 1 - (0.05 + 0.3**2))  # inherited: n_src0 = 2
+    assert math.isclose(b[2], 1 - 0.35)  # supporting keeps its own only

@@ -1,0 +1,123 @@
+"""Golden mini-corpus end-to-end: the P/R ≥ 0.95 gate (BASELINE.json metric).
+
+The pipeline's emitted (subj, pred, obj) triples are compared against a
+pure-Python twin (sources/synth.py::reference_statements) that derives the
+expected statements from the generation-time structure — it never touches
+the regex reader, the Spark grounding join, or the hash expressions, so it
+is a genuinely independent oracle (mirrors the reference's
+tests/test_preassembly.py golden-corpus pattern).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.hashing import fold_md5_64_py
+from indra_db_spark.pipeline import run_pipeline
+from indra_db_spark.sources.synth import reference_statements, synth_pages
+
+N_GOLDEN = 200
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    out = tempfile.mkdtemp(prefix="kg_golden_")
+    pages = synth_pages(spark, N_GOLDEN, seed=42)
+    res = run_pipeline(spark, pages, out, pages_fingerprint=f"golden{N_GOLDEN}")
+    yield res
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return reference_statements(N_GOLDEN, seed=42)
+
+
+def _triple(subj_key, typ, obj_key):
+    # Complex is symmetric (member-set semantics) — canonical order for compare
+    if typ == "Complex":
+        subj_key, obj_key = sorted([subj_key, obj_key])
+    return (subj_key, typ, obj_key)
+
+
+def test_triple_precision_recall(golden, expected):
+    got = {
+        _triple(r["subj_key"], r["type"], r["obj_key"])
+        for r in golden.tables["pa_statements"]
+        .select(
+            F.concat_ws(":", "subj.db_ns", "subj.db_id").alias("subj_key"),
+            "type",
+            F.concat_ws(":", "obj.db_ns", "obj.db_id").alias("obj_key"),
+        )
+        .collect()
+    }
+    want = {_triple(e["subj_key"], e["type"], e["obj_key"]) for e in expected}
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    assert precision >= 0.95, f"precision {precision} (missing: {list(got - want)[:5]})"
+    assert recall >= 0.95, f"recall {recall} (missing: {list(want - got)[:5]})"
+    # On the synthetic grammar the reader is actually exact:
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_mk_hashes_match_reference_twin(golden, expected):
+    got = {r["mk_hash"] for r in golden.tables["pa_statements"].select("mk_hash").collect()}
+    want = {fold_md5_64_py(e["matches_key"]) for e in expected}
+    assert got == want
+
+
+def test_ev_counts_match_reference_twin(golden, expected):
+    # Twin counts deduped evidence: distinct (url, matches_key, source,
+    # evidence_text) per the distill rule.
+    from collections import defaultdict
+
+    uniq = {(e["url"], e["matches_key"], e["source"], e["evidence_text"]) for e in expected}
+    want = defaultdict(int)
+    for _, mk, _, _ in uniq:
+        want[fold_md5_64_py(mk)] += 1
+    got = {
+        r["mk_hash"]: r["ev_count"]
+        for r in golden.tables["pa_statements"].select("mk_hash", "ev_count").collect()
+    }
+    assert got == dict(want)
+
+
+def test_evidence_links_are_consistent(golden):
+    ev = golden.tables["evidence"]
+    pa = golden.tables["pa_statements"]
+    # every evidence row points at an existing pa statement
+    orphans = ev.join(pa.select("mk_hash"), "mk_hash", "left_anti")
+    assert orphans.count() == 0
+    # ev_count == number of evidence rows
+    recount = ev.groupBy("mk_hash").agg(F.count(F.lit(1)).alias("n"))
+    bad = (
+        pa.select("mk_hash", "ev_count")
+        .join(recount, "mk_hash")
+        .where(F.col("ev_count") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+
+def test_src_counts_sum_to_ev_count(golden):
+    pa = golden.tables["pa_statements"]
+    bad = pa.where(
+        F.aggregate(F.map_values("src_counts"), F.lit(0).cast("long"), lambda a, x: a + x)
+        != F.col("ev_count")
+    )
+    assert bad.count() == 0
+
+
+def test_schemas_match_registry(golden):
+    from indra_db_spark import schemas
+
+    pa = golden.tables["pa_statements"].drop("bucket")
+    assert [f.name for f in pa.schema.fields] == [
+        f.name for f in schemas.PA_STATEMENTS.fields
+    ]
+    ev = golden.tables["evidence"]
+    assert [f.name for f in ev.schema.fields] == [
+        f.name for f in schemas.EVIDENCE.fields
+    ]

@@ -1,0 +1,92 @@
+"""Checkpoint / lineage / idempotent-resume properties (SURVEY.md §8.8)."""
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from indra_db_spark.pipeline import run_pipeline
+from indra_db_spark.sources.storage import read_manifest
+from indra_db_spark.sources.synth import synth_pages
+
+N = 150
+
+
+def _run(spark, out, fp="resume_t"):
+    # wide ts stride → pages span several day-partitions (137 s would put
+    # all 150 test pages on one day)
+    pages = synth_pages(spark, N, seed=42, ts_stride_s=50000)
+    return run_pipeline(spark, pages, out, pages_fingerprint=fp)
+
+
+def test_rerun_is_noop_and_partition_manifests_exist(spark):
+    out = tempfile.mkdtemp(prefix="kg_resume_")
+    try:
+        r1 = _run(spark, out)
+        assert r1.skipped == []
+        snap1 = read_manifest(f"{out}/pa_statements")["snapshot_id"]
+        # per-partition lineage records exist for the day-partitioned stage
+        parts = glob.glob(f"{out}/_manifest/stage=raw_statements/part=*.json")
+        assert parts, "expected per-partition manifests"
+        rec = json.load(open(parts[0]))
+        assert rec["rows"] > 0
+        # stage metrics carry throughput
+        assert r1.metrics["raw_statements"]["rows_per_sec"] > 0
+
+        r2 = _run(spark, out)
+        assert set(r2.skipped) == {
+            "raw_statements", "pa_base", "pa_link", "components", "belief", "meta",
+        }
+        assert read_manifest(f"{out}/pa_statements")["snapshot_id"] == snap1
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_mid_stage_partition_resume(spark):
+    """Kill the stage commit, keep some partition manifests → rerun only
+    processes the missing days and converges to the same output."""
+    out1 = tempfile.mkdtemp(prefix="kg_resA_")
+    out2 = tempfile.mkdtemp(prefix="kg_resB_")
+    try:
+        r1 = _run(spark, out1)
+        snap = read_manifest(f"{out1}/pa_statements")["snapshot_id"]
+
+        # Simulate a mid-stage crash in out2: run fully, then delete the
+        # stage commit + half the day partitions' data and manifests.
+        _run(spark, out2)
+        stage_dir = f"{out2}/_manifest/stage=raw_statements"
+        os.remove(os.path.join(stage_dir, "_stage.json"))
+        parts = sorted(glob.glob(os.path.join(stage_dir, "part=*.json")))
+        assert len(parts) >= 2
+        killed_days = []
+        for p in parts[: len(parts) // 2]:
+            killed_days.append(json.load(open(p))["partition"])
+            os.remove(p)
+        for day in killed_days:
+            shutil.rmtree(f"{out2}/raw_statements/day={day}", ignore_errors=True)
+        # downstream stages must also recompute: nuke their commits
+        for s in ["pa_base", "pa_link", "components", "belief", "meta"]:
+            os.remove(f"{out2}/_manifest/stage={s}/_stage.json")
+
+        r2 = _run(spark, out2)
+        assert "raw_statements" not in r2.skipped
+        assert read_manifest(f"{out2}/pa_statements")["snapshot_id"] == snap
+        assert (
+            read_manifest(f"{out2}/raw_statements") is not None
+            and r2.tables["raw_statements"].count()
+            == r1.tables["raw_statements"].count()
+        )
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_changed_fingerprint_invalidates(spark):
+    out = tempfile.mkdtemp(prefix="kg_resC_")
+    try:
+        _run(spark, out, fp="fp_a")
+        r2 = _run(spark, out, fp="fp_b")
+        assert "raw_statements" not in r2.skipped
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
