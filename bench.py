@@ -1,0 +1,127 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop writer (count() would let
+Catalyst prune sorts/projections and under-report). The KG pipeline is
+benchmarked separately over a deterministic synthesized pages corpus and
+reported as docs/sec (the north-rule throughput number; see
+tools/scaling_bench.py for the N→4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "filter_predicates",
+    "star_join",
+    "semi_anti_join",
+    "agg_rollup",
+    "source_pivot",
+    "window_topk",
+    "window_running",
+    "set_ops",
+    "scalar_funcs",
+    "mk_hash",
+    "docs_exact_dedup",
+    "docs_quality",
+    "docs_ngram_jaccard",
+    "docs_minhash_lsh",
+    "docs_simhash",
+    "embeddings_topk",
+    "embeddings_lsh_ann",
+    "langid_confusion",
+]
+
+KG_BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "20000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from indra_db_spark.operators.dedup import build_pa_statements
+    from indra_db_spark.operators.distill import distill
+    from indra_db_spark.operators.extract import extract_statements
+    from indra_db_spark.operators.grounding import ground_statements
+    from indra_db_spark.session import get_spark
+    from indra_db_spark.sources import dims
+    from indra_db_spark.sources.synth import synth_pages
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="indra_db_spark_bench", master=f"local[{cpus}]")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        _force(df)  # warm: plan + scan caches
+        t0 = time.time()
+        _force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput on synthesized pages (extract→ground→distill→
+    # dedup — the shuffle-heavy core; refine/belief excluded to keep the
+    # per-round bench bounded; scaling_bench covers the full DAG).
+    # Pages are materialized to parquet FIRST (untimed): the benchmark
+    # measures the engine reading from storage, not the test-data generator.
+    import tempfile
+
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"kg_bench_pages_{KG_BENCH_PAGES}"
+    )
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        synth_pages(spark, KG_BENCH_PAGES, seed=42).write.mode("overwrite").parquet(
+            pages_dir
+        )
+    pages = spark.read.parquet(pages_dir)
+    raw_dir = os.path.join(tempfile.gettempdir(), "kg_bench_raw")
+
+    def kg_run() -> None:
+        # stage 1 (as in pipeline.py): materialize raw_statements —
+        # downstream aggregations fork the lineage, so chaining lazily
+        # would recompute the extraction UDF once per fork.
+        ground_statements(
+            extract_statements(pages), dims.grounding_map_df(spark)
+        ).write.mode("overwrite").parquet(raw_dir)
+        raw = spark.read.parquet(raw_dir)
+        _force(build_pa_statements(distill(raw)))
+
+    kg_run()  # warm: python workers, JIT, codegen — same policy as above
+    t0 = time.time()
+    kg_run()
+    kg_secs = time.time() - t0
+    timings["kg_pipeline_20k_pages"] = round(kg_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_docs_per_sec": round(KG_BENCH_PAGES / kg_secs, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Document deduplication family — exact, n-gram Jaccard, MinHash+LSH,
+SimHash — over a (doc_id, text) corpus.
+
+At 100 TB these are the workhorses of training-data curation. Shapes:
+
+  * exact:     one hash-groupBy on the content fingerprint (map-side
+               combinable, salå-free — fingerprints are uniform).
+  * jaccard:   shingle-explode → self-equi-join on shingle → pair agg.
+               Quadratic in cluster size but only within shared shingles;
+               the LSH variant is the scale path.
+  * minhash:   shingle → k minhashes (one explode, k aggs) → band buckets →
+               join only within buckets (candidates ≪ n²).
+  * simhash:   per-token hash → bitwise majority vote → single 64-bit
+               signature; near-dups = equal signatures (or banded prefixes).
+
+Everything is deterministic (md5-derived hash families, no RNG state) and
+pure DataFrame ops — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.hashing import fold_md5_64
+
+
+def _norm_text(text_col: str = "text"):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated fingerprint with the member ids and the kept (min) id."""
+    fp = fold_md5_64(_norm_text(text_col)).alias("fp_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp)
+        .groupBy("fp_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams of the normalized text."""
+    words = F.split(_norm_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.size(F.split(F.col("shingle"), " ")) == k)  # short docs: drop partials
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    shingle self-join (a.doc_id < b.doc_id) → |A∩B| per pair; |A|,|B| from a
+    per-doc size agg (broadcastable at dim scale; shuffled join at corpus
+    scale — AQE decides)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — deterministic seeded hash
+    family h_i(s) = xxhash64(i, s) (JVM-native, codegen'd — the md5 fold
+    costs ~10× more and MinHash needs no md5 compatibility); one explode,
+    then a single groupBy computing all k mins (no k-fold data blowup)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing any band
+    of the minhash signature. Returns (doc_a, doc_b, n_bands_shared)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("bucket", F.xxhash64(F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — bitwise majority vote over token hashes.
+
+    One explode to (doc, token), one explode to (doc, bit), two aggs.
+    ``bits`` kept small by default to bound the row blowup; 64 at scale."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm_text(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    hashed = tokens.withColumn("th", F.xxhash64("token"))
+    bit_votes = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+    ).withColumn(
+        # python F.shiftright requires a literal shift — SQL accepts exprs
+        "vote",
+        F.when(F.expr("(shiftright(th, cast(bit as int)) & 1) = 1"), 1).otherwise(-1),
+    )
+    votes = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(bit as int))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

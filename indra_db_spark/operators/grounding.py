@@ -81,7 +81,10 @@ def ground_statements(extracted: DataFrame, grounding_map: DataFrame) -> DataFra
     then computes matches_key / mk_hash / source_hash / raw_id as pure
     column expressions (whole-stage codegen, §8.3).
     """
-    resolved = resolve_grounding_map(grounding_map)
+    # Materialize the resolved dim once (localCheckpoint): subj and obj
+    # grounding each build a broadcast from it, and without materialization
+    # each broadcast re-runs the resolution window job.
+    resolved = resolve_grounding_map(grounding_map).repartition(1).localCheckpoint()
     df = _ground_side(extracted, resolved, "subj")
     df = _ground_side(df, resolved, "obj")
 

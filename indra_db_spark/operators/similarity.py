@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(n·q), the correctness
+oracle. Scale path: LSH-bucketed ANN via deterministic random-hyperplane
+signatures (md5-seeded, no RNG state): queries only compare within their
+Hamming bucket, turning the n×q cross join into a bucket-local join.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+functions, no Python). At real scale the query side is the broadcast side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    (query_id, neighbor_id, cos_sim, rank); self-matches excluded. The
+    query side is broadcast — corpus is never shuffled."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    sims = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("_qvec").cast("array<double>"), F.col("_cvec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bytes."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane{p}|{ctr}".encode()).digest()
+            for i in range(0, 16, 2):
+                if len(vals) >= dim:
+                    break
+                u = int.from_bytes(h[i : i + 2], "big") / 65535.0
+                vals.append(2.0 * u - 1.0)
+            ctr += 1
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec · plane_p)."""
+    bits = [
+        F.when(
+            _dot(vec.cast("array<double>"), F.array(*[F.lit(x) for x in plane])) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: compare only within the same hyperplane bucket.
+
+    Recall improves with fewer planes / multiple tables; this single-table
+    variant is the shape demo — the bucket join replaces the cross join."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("_qvec").cast("array<double>"), F.col("_cvec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data curation at corpus scale.
+
+These extend the engine beyond the reference's biomedical reading: the
+same pages/documents corpus a KG job consumes is also the corpus an
+LLM-training pipeline filters. All operators are pure column expressions
+(whole-stage codegen; no UDFs), so they run at scan speed and push down.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length / punctuation / stopword / uppercase ratios), language ID
+(stopword-hit heuristic over broadcast lexicons), document fingerprinting
+(md5 of normalized text, 64-bit fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.hashing import fold_md5_64
+
+# Tiny deterministic stopword lexicons per language (language-ID heuristic).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "que", "une", "sur"],
+    "es": ["el", "los", "las", "por", "con", "para", "una", "del", "como", "más"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "auf", "eine", "nicht"],
+}
+
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, single digits, single punctuation —
+    a deterministic proxy for byte-pair tokenizers."""
+    return F.regexp_count(text, F.lit(BPE_ISH_TOKEN))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score in [0, 1].
+
+    Mirrors Gopher/C4-style filters: length, punctuation ratio, English
+    stopword ratio, uppercase ratio, mean word length.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_ws = ws_token_count(t)
+    punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    stop_pat = r"(?i)\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    stops = F.regexp_count(t, F.lit(stop_pat))
+    nd = lambda a, b: F.when(b > 0, a.cast("double") / b).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_ws)
+        .withColumn("punct_ratio", F.round(nd(punct, n_chars), 6))
+        .withColumn("upper_ratio", F.round(nd(upper, n_chars), 6))
+        .withColumn("stopword_ratio", F.round(nd(stops, n_ws), 6))
+        .withColumn("mean_word_len", F.round(nd(n_chars - (n_ws - 1), n_ws), 6))
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio").between(0.001, 0.2), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(F.col("upper_ratio") <= 0.3, 0.25).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 2))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language lexicon,
+    argmax with deterministic tie-break (hit count desc, lang asc);
+    'und' when nothing matches. Pure expressions — the per-language counts
+    are a fixed small set of regexp_counts, no explode/join."""
+    t = F.col(text_col)
+    counts = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        counts.append(F.struct(F.regexp_count(t, F.lit(pat)).alias("hits"), F.lit(lang).alias("lang")))
+    arr = F.array(*counts)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    winners = F.filter(arr, lambda s: s["hits"] == max_hits)
+    win_langs = F.transform(winners, lambda s: s["lang"])
+    lang = F.when(max_hits > 0, F.array_min(win_langs)).otherwise(F.lit("und"))
+    return df.withColumn("lang_pred", lang).withColumn(
+        "lang_hits", max_hits
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over normalized text:
+    lowercase, collapse whitespace → md5 → signed-64 fold."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fp_hash", fold_md5_64(norm)).withColumn(
+        "fp_hex", F.substring(F.md5(norm), 1, 16)
+    )

@@ -1,0 +1,290 @@
+"""Composable query DSL over the assembled corpus.
+
+Reference: indra_db/client/readonly/query.py — a tree of Query objects
+(HasAgent, HasType, HasHash, HasSources, HasOnlySource, HasReadings,
+HasDatabases, HasNumAgents, HasNumEvidence, FromPapers, Intersection,
+Union, inversion ``~q``, EmptyQuery) compiled to SQLAlchemy selects over
+the readonly meta tables, returning mk_hash sets with (ev_count, belief,
+agent_count), hydrated into statements with per-statement ``ev_limit``.
+
+Here each Query node emits a **DataFrame of mk_hash** (a logical plan —
+Catalyst fuses the whole tree); composition rules:
+
+  * Intersection → chained ``left_semi`` joins (hash-only, no payload
+    shuffle — cheaper than SQL INTERSECT on wide rows),
+  * Union → ``unionByName`` + drop-dup on the hash,
+  * inversion → ``left_anti`` against the corpus,
+  * leaves → column predicates over pa_statements / name_meta /
+    source_meta / evidence, all of which push down to parquet scans.
+
+Every leaf is also **invertible** (reference: Query._inverted), and
+get_statements supports sort_by/limit/offset (W4) + ev_limit (W2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.meta import KB_PREFIX
+
+# Statement-type hierarchy (indra.statements class tree, the subset this
+# engine emits). HasType(include_subclasses=True) expands via this closure.
+TYPE_PARENTS = {
+    "Phosphorylation": "Modification",
+    "Activation": "RegulateActivity",
+    "Inhibition": "RegulateActivity",
+    "Modification": "Statement",
+    "RegulateActivity": "Statement",
+    "Complex": "Statement",
+}
+
+
+def type_closure(types: list[str]) -> list[str]:
+    """All concrete types whose ancestor chain hits any of ``types``."""
+    out = set()
+    concrete = set(TYPE_PARENTS) | {"Complex"}
+    for t in concrete:
+        cur: str | None = t
+        while cur is not None:
+            if cur in types:
+                out.add(t)
+                break
+            cur = TYPE_PARENTS.get(cur)
+    out |= set(types) & concrete
+    return sorted(out)
+
+
+@dataclass
+class QueryContext:
+    """The corpus the DSL runs against (readonly-database analog)."""
+
+    pa_statements: DataFrame
+    evidence: DataFrame
+    name_meta: DataFrame | None = None
+
+    def agents(self) -> DataFrame:
+        if self.name_meta is not None:
+            return self.name_meta
+        from indra_db_spark.operators.meta import build_name_meta
+
+        return build_name_meta(self.pa_statements)
+
+
+class Query:
+    def __and__(self, other: "Query") -> "Query":
+        return Intersection([self, other])
+
+    def __or__(self, other: "Query") -> "Query":
+        return Union([self, other])
+
+    def __invert__(self) -> "Query":
+        return Not(self)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        raise NotImplementedError
+
+    # ---- result surface (QueryResult analog) ----
+    def evaluate(self, ctx: QueryContext) -> DataFrame:
+        """(mk_hash, ev_count, belief, agent_count) for matching stmts."""
+        return ctx.pa_statements.join(
+            self.hashes(ctx), "mk_hash", "left_semi"
+        ).select("mk_hash", "ev_count", "belief", "agent_count")
+
+    def get_statements(
+        self,
+        ctx: QueryContext,
+        ev_limit: int | None = None,
+        sort_by: str = "ev_count",
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """Hydrated statements (+ evidences array, ev_limit-truncated)."""
+        stmts = ctx.pa_statements.join(self.hashes(ctx), "mk_hash", "left_semi")
+        if offset:
+            w = Window.orderBy(F.desc(sort_by), F.asc("mk_hash"))
+            stmts = (
+                stmts.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > offset)
+                .drop("_rn")
+            )
+        stmts = stmts.orderBy(F.desc(sort_by), F.asc("mk_hash"))
+        if limit is not None:
+            stmts = stmts.limit(limit)
+        ev = ctx.evidence
+        if ev_limit is not None:
+            w = Window.partitionBy("mk_hash").orderBy("raw_id")
+            ev = ev.withColumn("_rn", F.row_number().over(w)).where(
+                F.col("_rn") <= ev_limit
+            ).drop("_rn")
+        ev_packed = ev.groupBy("mk_hash").agg(
+            F.array_sort(
+                F.collect_list(F.struct("raw_id", "url", "source", "evidence_text"))
+            ).alias("evidences")
+        )
+        return stmts.join(ev_packed, "mk_hash", "left")
+
+
+@dataclass
+class EmptyQuery(Query):
+    """Neutral element: matches everything (query.py::EmptyQuery)."""
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.select("mk_hash")
+
+
+@dataclass
+class HasAgent(Query):
+    """query.py::HasAgent — match on grounding or name, optional role."""
+
+    name: str | None = None
+    namespace: str | None = None
+    db_id: str | None = None
+    role: str | None = None  # SUBJECT | OBJECT
+    agent_num: int | None = None
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        ag = ctx.agents()
+        cond = F.lit(True)
+        if self.name is not None:
+            cond &= F.col("name") == self.name
+        if self.namespace is not None:
+            cond &= F.col("db_ns") == self.namespace
+        if self.db_id is not None:
+            cond &= F.col("db_id") == self.db_id
+        if self.role is not None:
+            cond &= F.col("role") == self.role
+        if self.agent_num is not None:
+            cond &= F.col("ag_num") == self.agent_num
+        return ag.where(cond).select("mk_hash").distinct()
+
+
+@dataclass
+class HasType(Query):
+    types: list[str] = field(default_factory=list)
+    include_subclasses: bool = False
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        types = type_closure(self.types) if self.include_subclasses else self.types
+        return ctx.pa_statements.where(F.col("type").isin(types)).select("mk_hash")
+
+
+@dataclass
+class HasHash(Query):
+    hashes_list: list[int] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(
+            F.col("mk_hash").isin(self.hashes_list)
+        ).select("mk_hash")
+
+
+@dataclass
+class HasSources(Query):
+    """≥1 evidence from EACH given source (conjunctive, query.py::HasSources)."""
+
+    sources: list[str] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        cond = F.lit(True)
+        for s in self.sources:
+            cond &= F.coalesce(F.col("src_counts")[s], F.lit(0)) > 0
+        return ctx.pa_statements.where(cond).select("mk_hash")
+
+
+@dataclass
+class HasOnlySource(Query):
+    source: str = ""
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(
+            (F.size(F.map_keys("src_counts")) == 1)
+            & (F.coalesce(F.col("src_counts")[self.source], F.lit(0)) > 0)
+        ).select("mk_hash")
+
+
+def _src_flag(kb: bool):
+    if kb:
+        return F.exists(F.map_keys("src_counts"), lambda s: s.startswith(KB_PREFIX))
+    return F.exists(F.map_keys("src_counts"), lambda s: ~s.startswith(KB_PREFIX))
+
+
+@dataclass
+class HasReadings(Query):
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(_src_flag(False)).select("mk_hash")
+
+
+@dataclass
+class HasDatabases(Query):
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(_src_flag(True)).select("mk_hash")
+
+
+@dataclass
+class HasNumAgents(Query):
+    min_agents: int = 0
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(
+            F.col("agent_count") >= self.min_agents
+        ).select("mk_hash")
+
+
+@dataclass
+class HasNumEvidence(Query):
+    min_evidence: int = 0
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.where(
+            F.col("ev_count") >= self.min_evidence
+        ).select("mk_hash")
+
+
+@dataclass
+class FromPapers(Query):
+    """Statements with evidence from any of the given papers (urls)."""
+
+    urls: list[str] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return (
+            ctx.evidence.where(F.col("url").isin(self.urls))
+            .select("mk_hash")
+            .distinct()
+        )
+
+
+@dataclass
+class Intersection(Query):
+    queries: list[Query] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        dfs = [q.hashes(ctx) for q in self.queries]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.join(d, "mk_hash", "left_semi")
+        return out
+
+
+@dataclass
+class Union(Query):
+    queries: list[Query] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        out = self.queries[0].hashes(ctx)
+        for q in self.queries[1:]:
+            out = out.unionByName(q.hashes(ctx))
+        return out.dropDuplicates(["mk_hash"])
+
+
+@dataclass
+class Not(Query):
+    query: Query = None  # type: ignore[assignment]
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        return ctx.pa_statements.select("mk_hash").join(
+            self.query.hashes(ctx), "mk_hash", "left_anti"
+        )

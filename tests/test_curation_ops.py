@@ -1,0 +1,141 @@
+"""Training-data curation operators: dedup family, similarity, text
+analysis, multimodal plumbing."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.dedup_docs import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from indra_db_spark.operators.multimodal import extract_media_features, synth_media
+from indra_db_spark.operators.similarity import brute_force_topk, lsh_topk
+from indra_db_spark.operators.textops import (
+    fingerprint,
+    language_id,
+    quality_features,
+    ws_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),      # near dup
+        (4, "completely different text about spark engines and scale", "en"),
+        (5, "le chat est dans la maison et le chien est dans le jardin", "fr"),
+        (6, "  The   Quick  Brown Fox jumps over the lazy dog ", "en"),  # ws/case dup of 1
+        (7, "der hund ist mit der katze auf der wiese und das ist gut", "de"),
+        (8, "xyzzy", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    (g,) = groups
+    assert g["doc_ids"] == [1, 2, 6] and g["keep_id"] == 1
+
+
+def test_jaccard_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # doc 3 differs in last word → 6/8 shared 3-shingles (J = 6/8 /(7+7-6)=0.75)
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert math.isclose(pairs[(1, 3)], 0.75, abs_tol=1e-6)
+    exact = [p for p in pairs if pairs[p] == 1.0]
+    assert set(exact) == {(1, 2), (1, 6), (2, 6)}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sig = minhash_signatures(docs).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sig}
+    assert by_id[1] == by_id[2] == by_id[6]  # identical shingle sets
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert {(1, 2), (1, 6), (2, 6)} <= cands
+    assert (1, 3) in cands  # high-jaccard pair shares ≥1 band
+    assert (1, 4) not in cands
+
+
+def test_simhash_identical_and_near(spark, docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[1] == s[2] == s[6]
+    # near-dup differs in few bits
+    ham = bin(s[1] ^ s[3]).count("1")
+    assert ham <= 6
+    assert all(0 <= v < (1 << 16) for v in s.values())
+
+
+def test_shingles_short_doc(spark, docs):
+    sh = word_shingles(docs).where(F.col("doc_id") == 8).count()
+    assert sh == 0  # 1 word < k=3 → no partial shingles
+
+
+def test_brute_force_topk_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # planted neighbor
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = brute_force_topk(emb, emb.where("vec_id in (0, 5)"), k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in topk.collect()}
+    assert got[(0, 1)] == 1  # planted nearest neighbor found
+    # exact ranks agree with numpy
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -2
+    assert got[(0, 1)] == int(np.argmax(sims))
+    # LSH variant finds the planted pair (same bucket — nearly identical)
+    lsh = lsh_topk(emb, emb.where("vec_id = 0"), k=3, dim=16, n_planes=6)
+    lgot = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in lsh.collect()}
+    assert lgot[(0, 1)] == 1
+
+
+def test_text_analysis(spark, docs):
+    q = quality_features(docs).collect()
+    by = {r["doc_id"]: r for r in q}
+    assert by[1]["n_tokens"] == 9
+    assert by[1]["stopword_ratio"] > 0.2
+    assert 0.0 <= by[8]["quality_score"] < by[1]["quality_score"] <= 1.0
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert langs[1] == "en" and langs[5] == "fr" and langs[7] == "de"
+    assert langs[8] == "und"
+
+    fp = fingerprint(docs).select("doc_id", "fp_hash").collect()
+    vals = {r["doc_id"]: r["fp_hash"] for r in fp}
+    assert vals[1] == vals[6]  # normalization collapses case/whitespace
+    assert vals[1] != vals[3]
+
+
+def test_ws_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one",), ("a  b",)], "t string")
+    got = [r["n"] for r in df.select(ws_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [0, 0, 1, 2]
+
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, 30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    by = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert by[0]["n_bytes"] == len(bytes(media.first()["payload"]))
+    # deterministic: same content ⇒ same feature
+    again = {r["media_id"]: r["feature"] for r in extract_media_features(media).collect()}
+    assert again == {k: v["feature"] for k, v in by.items()}

@@ -1,0 +1,148 @@
+"""Query DSL semantics — mirrors the reference's tests/test_query.py
+pattern: build a tiny corpus, assert the exact hash set per query,
+compose with & | ~."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark import schemas
+from indra_db_spark.operators.dedup import build_evidence, build_pa_statements
+from indra_db_spark.operators.distill import distill
+from indra_db_spark.operators.extract import extract_statements
+from indra_db_spark.operators.grounding import ground_statements
+from indra_db_spark.plans.query import (
+    EmptyQuery,
+    FromPapers,
+    HasAgent,
+    HasDatabases,
+    HasHash,
+    HasNumEvidence,
+    HasOnlySource,
+    HasReadings,
+    HasSources,
+    HasType,
+    QueryContext,
+    type_closure,
+)
+from indra_db_spark.sources import dims
+from indra_db_spark.sources.knowledgebase import load_knowledgebase
+from indra_db_spark.sources.synth import synth_pages
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    pages = synth_pages(spark, 300, seed=42)
+    raw = distill(
+        ground_statements(extract_statements(pages), dims.grounding_map_df(spark))
+    )
+    kb = load_knowledgebase(
+        spark,
+        "signor",
+        [
+            ("Activation", "HGNC", "11998", "TP53", "HGNC", "10001", "MDM2"),
+            ("Inhibition", "HGNC", "9999", "NEWGENE", "HGNC", "10001", "MDM2"),
+        ],
+    )
+    raw = raw.unionByName(kb)
+    pa = build_pa_statements(raw)
+    # no belief stage needed for DSL tests; fill the column
+    pa = pa.withColumn("belief", F.lit(0.5)).select(
+        *[f.name for f in schemas.PA_STATEMENTS.fields]
+    )
+    ev = build_evidence(raw)
+    return QueryContext(pa_statements=pa.cache(), evidence=ev.cache())
+
+
+def _hashes(q, ctx):
+    return {r["mk_hash"] for r in q.hashes(ctx).collect()}
+
+
+def test_has_agent_by_grounding(ctx):
+    got = _hashes(HasAgent(namespace="HGNC", db_id="11998"), ctx)
+    want = {
+        r["mk_hash"]
+        for r in ctx.pa_statements.where(
+            (F.col("subj.db_ns") == "HGNC") & (F.col("subj.db_id") == "11998")
+            | (F.col("obj.db_ns") == "HGNC") & (F.col("obj.db_id") == "11998")
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_has_agent_role(ctx):
+    subj_only = _hashes(HasAgent(name="TP53", role="SUBJECT"), ctx)
+    any_role = _hashes(HasAgent(name="TP53"), ctx)
+    assert subj_only <= any_role
+
+
+def test_has_type_and_closure(ctx):
+    acts = _hashes(HasType(["Activation"]), ctx)
+    regs = _hashes(HasType(["RegulateActivity"], include_subclasses=True), ctx)
+    inhs = _hashes(HasType(["Inhibition"]), ctx)
+    assert acts | inhs == regs
+    assert set(type_closure(["Modification"])) == {"Modification", "Phosphorylation"}
+    everything = set(type_closure(["Statement"]))
+    assert {"Activation", "Inhibition", "Complex", "Phosphorylation"} <= everything
+
+
+def test_set_ops(ctx):
+    a = HasAgent(namespace="HGNC", db_id="11998")
+    t = HasType(["Activation"])
+    got_and = _hashes(a & t, ctx)
+    got_or = _hashes(a | t, ctx)
+    sa, st = _hashes(a, ctx), _hashes(t, ctx)
+    assert got_and == sa & st
+    assert got_or == sa | st
+    corpus = _hashes(EmptyQuery(), ctx)
+    assert _hashes(~a, ctx) == corpus - sa
+    # De Morgan
+    assert _hashes(~(a | t), ctx) == _hashes(~a & ~t, ctx)
+
+
+def test_has_hash_roundtrip(ctx):
+    some = sorted(_hashes(HasType(["Complex"]), ctx))[:5]
+    assert _hashes(HasHash(some), ctx) == set(some)
+
+
+def test_sources_and_kb_flags(ctx):
+    only_kb = _hashes(HasOnlySource("kb_signor"), ctx)
+    has_kb = _hashes(HasSources(["kb_signor"]), ctx)
+    dbs = _hashes(HasDatabases(), ctx)
+    rds = _hashes(HasReadings(), ctx)
+    assert only_kb <= has_kb <= dbs
+    # the TP53-activates-MDM2 hub triple is both read and curated:
+    both = has_kb & rds
+    assert len(both) == 1
+    # the never-read KB statement is db-only:
+    assert len(only_kb) == 1
+    corpus = _hashes(EmptyQuery(), ctx)
+    assert rds | dbs == corpus
+
+
+def test_has_num_evidence_and_from_papers(ctx):
+    heavy = _hashes(HasNumEvidence(5), ctx)
+    assert heavy  # hub triple has many evidences
+    url = ctx.evidence.select("url").first()["url"]
+    fp = _hashes(FromPapers([url]), ctx)
+    want = {
+        r["mk_hash"] for r in ctx.evidence.where(F.col("url") == url).collect()
+    }
+    assert fp == want
+
+
+def test_get_statements_ev_limit_and_sort(ctx):
+    q = HasAgent(namespace="HGNC", db_id="11998") & HasType(["Activation"])
+    res = q.get_statements(ctx, ev_limit=3, sort_by="ev_count", limit=2).collect()
+    assert len(res) <= 2
+    assert all(len(r["evidences"]) <= 3 for r in res)
+    if len(res) == 2:
+        assert res[0]["ev_count"] >= res[1]["ev_count"]
+
+
+def test_offset_pagination(ctx):
+    q = EmptyQuery()
+    page1 = q.get_statements(ctx, limit=5).collect()
+    page2 = q.get_statements(ctx, limit=5, offset=5).collect()
+    ids1 = {r["mk_hash"] for r in page1}
+    ids2 = {r["mk_hash"] for r in page2}
+    assert ids1.isdisjoint(ids2) and len(page2) == 5
