@@ -20,10 +20,16 @@ from pyspark.sql import functions as F
 
 
 def distill(raw: DataFrame) -> DataFrame:
+    # ONE explicit shuffle on url: HashPartitioning(url) satisfies the
+    # ClusteredDistribution of BOTH the (url, extractor) window and the
+    # (url, mk_hash, source_hash) dedup aggregate, so Catalyst inserts no
+    # further exchange — without it these are two full shuffles of wide
+    # evidence rows.
     w = Window.partitionBy("url", "extractor")
     best = F.max("extractor_version").over(w)
     return (
-        raw.withColumn("_best_version", best)
+        raw.repartition("url")
+        .withColumn("_best_version", best)
         .where(F.col("extractor_version") == F.col("_best_version"))
         .drop("_best_version")
         .dropDuplicates(["url", "mk_hash", "source_hash"])

@@ -43,9 +43,18 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
     ``isa_closure``: (child_key, parent_key), transitive, NOT reflexive —
     self is added here.
     """
-    pa = _pair_keys(
-        pa_statements.select("mk_hash", "type", "subj", "obj", "mods")
-    )
+    return build_pa_link_restricted(pa_statements, pa_statements, isa_closure)
+
+
+def build_pa_link_restricted(
+    specific: DataFrame, general: DataFrame, isa_closure: DataFrame
+) -> DataFrame:
+    """Refinement edges with the candidate sides restricted — the
+    incremental-supplement path joins a small affected set against the
+    full corpus instead of a corpus self-join
+    (preassemble_db.py::supplement_corpus computes exactly the old↔new
+    link pairs)."""
+    pa = _pair_keys(specific.select("mk_hash", "type", "subj", "obj", "mods"))
 
     # Pre-aggregate the closure to child → [ancestors] (dim side, tiny),
     # so each fact-side generalization is ONE broadcast join + explode —
@@ -74,13 +83,12 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
             .drop(f"_{col}_ancs")
         )
 
-    specific = generalize(pa, "k1")
-    specific = generalize(specific, "k2")
+    spec_side = generalize(generalize(pa, "k1"), "k2")
     # Complex pairs are kept sorted; generalizing one member can flip the
     # order (FPLX:… < HGNC:…), so re-sort the generalized pair before the
     # equi-join or symmetric matches are silently missed.
     is_cplx = F.col("type") == "Complex"
-    specific = specific.withColumn(
+    spec_side = spec_side.withColumn(
         "_j1",
         F.when(is_cplx, F.least("k1_gen", "k2_gen")).otherwise(F.col("k1_gen")),
     ).withColumn(
@@ -88,7 +96,9 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
         F.when(is_cplx, F.greatest("k1_gen", "k2_gen")).otherwise(F.col("k2_gen")),
     )
 
-    general = pa.select(
+    gen_keys = _pair_keys(
+        general.select("mk_hash", "type", "subj", "obj", "mods")
+    ).select(
         F.col("mk_hash").alias("supported_mk_hash"),
         F.col("type").alias("g_type"),
         F.col("k1").alias("g_k1"),
@@ -96,11 +106,11 @@ def build_pa_link(pa_statements: DataFrame, isa_closure: DataFrame) -> DataFrame
         F.col("mods").alias("g_mods"),
     )
 
-    joined = specific.join(
-        general,
-        (specific["type"] == general["g_type"])
-        & (specific["_j1"] == general["g_k1"])
-        & (specific["_j2"] == general["g_k2"]),
+    joined = spec_side.join(
+        gen_keys,
+        (spec_side["type"] == gen_keys["g_type"])
+        & (spec_side["_j1"] == gen_keys["g_k1"])
+        & (spec_side["_j2"] == gen_keys["g_k2"]),
     )
 
     # general's mods ⊆ specific's mods (struct equality inside arrays;

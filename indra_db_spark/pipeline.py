@@ -64,6 +64,7 @@ def run_pipeline(
     extractor_version: str = extract_op.EXTRACTOR_VERSION,
     resume: bool = True,
     n_salts: int = dedup_op.DEFAULT_SALTS,
+    signatures: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; all outputs land under out_dir."""
     log = LineageLog(out_dir)
@@ -94,7 +95,9 @@ def run_pipeline(
         rows_total = 0
         extra = {}
         for tbl, key, part_cols in table_specs:
-            m = storage.write_table(outputs[key], path(tbl), part_cols)
+            m = storage.write_table(
+                outputs[key], path(tbl), part_cols, compute_signature=signatures
+            )
             rows_total += m.get("row_count", 0)
             extra[f"{tbl}_rows"] = m.get("row_count")
             extra[f"{tbl}_snapshot"] = m.get("snapshot_id")
@@ -147,7 +150,9 @@ def run_pipeline(
     fp_pa = fingerprint("pa", fp_raw, n_salts, "v1")
 
     def build_pa():
-        distilled = distill_op.distill(raw)
+        # materialize once: pa and evidence both consume the distilled rows
+        # — without the checkpoint the distill shuffle runs twice.
+        distilled = distill_op.distill(raw).localCheckpoint()
         pa = dedup_op.build_pa_statements(distilled, n_salts).withColumn(
             "bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS))
         )

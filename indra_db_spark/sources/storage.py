@@ -69,11 +69,13 @@ def write_table(
         "partition_by": partition_by or [],
         "committed_at_unix": int(time.time()),
     }
+    spark = df.sparkSession
+    back = spark.read.schema(df.schema).parquet(path)
+    # count() over parquet is footer-metadata only — always cheap.
+    manifest["row_count"] = back.count()
     if compute_signature:
-        spark = df.sparkSession
-        back = spark.read.schema(df.schema).parquet(path)
-        cnt, h = _content_signature(back.select(*sorted(back.columns)))
-        manifest["row_count"] = cnt
+        # full content hash — determinism evidence; skipped in bench jobs
+        _, h = _content_signature(back.select(*sorted(back.columns)))
         manifest["snapshot_id"] = h
     with open(os.path.join(path, "_table_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -1,0 +1,188 @@
+"""Incremental preassembly — supplement an existing corpus with new pages.
+
+Reference: indra_db/preassembly/preassemble_db.py::DbPreassembler
+.supplement_corpus — merge a new raw-statement batch into the existing
+pa corpus without rebuilding it: new unique statements are added, existing
+ones gain evidence, and support links between old↔new are computed. The
+``*_updates`` watermark tables make re-runs incremental.
+
+Spark shape (snapshot-diff batch, also the foreachBatch body for the
+Structured Streaming wrapper in :mod:`indra_db_spark.streaming.stream`):
+
+  1. read new pages → extract → ground → new raw batch,
+  2. idempotence: anti-join on deterministic ``raw_id`` vs existing raw,
+  3. **affected set** = mk_hashes touched by the new batch ∪ every hash on
+     a re-read url (a newer extractor version supersedes the url's old
+     readings — distill semantics),
+  4. re-aggregate pa rows ONLY for affected hashes (gathering all their
+     raw evidence, old + new), merge into pa_statements by anti-join +
+     union,
+  5. refinement links recomputed only where one side is affected — two
+     small-side joins against the full corpus, not a full self-join,
+  6. belief recomputed for affected ∪ statements supported by affected
+     (one-hop evidence inheritance),
+  7. append-only evidence, full-partition overwrite for pa tables —
+     idempotent under retry.
+
+Every output equals the full rebuild on (old ∪ new) pages — property-
+tested in tests/test_supplement.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators import belief as belief_op
+from indra_db_spark.operators import dedup as dedup_op
+from indra_db_spark.operators import distill as distill_op
+from indra_db_spark.operators import extract as extract_op
+from indra_db_spark.operators import grounding as ground_op
+from indra_db_spark.operators import refine as refine_op
+from indra_db_spark.operators.components import assign_components
+from indra_db_spark.sources import dims as dims_mod
+from indra_db_spark.sources import storage
+from indra_db_spark.pipeline import PA_BUCKETS
+
+
+def supplement_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages: DataFrame,
+    grounding_map: DataFrame | None = None,
+    isa_closure: DataFrame | None = None,
+    priors: DataFrame | None = None,
+    extractor_version: str = extract_op.EXTRACTOR_VERSION,
+) -> dict[str, DataFrame]:
+    """Merge new pages into the corpus at ``out_dir`` (built by
+    pipeline.run_pipeline). Returns the updated tables."""
+    grounding_map = (
+        grounding_map if grounding_map is not None else dims_mod.grounding_map_df(spark)
+    )
+    isa_closure = (
+        isa_closure if isa_closure is not None else dims_mod.isa_closure_df(spark)
+    )
+    priors = priors if priors is not None else dims_mod.source_priors_df(spark)
+
+    path = lambda t: f"{out_dir}/{t}"
+    old_raw = storage.read_table(spark, path("raw_statements")).drop("day")
+    old_pa = storage.read_table(spark, path("pa_statements")).drop("bucket")
+    old_link = storage.read_table(spark, path("pa_link"))
+
+    # 1-2. new raw batch, idempotent vs existing (deterministic raw_id).
+    new_raw = ground_op.ground_statements(
+        extract_op.extract_statements(new_pages, extractor_version), grounding_map
+    ).join(old_raw.select("raw_id"), "raw_id", "left_anti")
+    new_raw = new_raw.localCheckpoint()  # consumed several times below
+
+    # 3. affected hashes: new batch hashes ∪ all hashes on re-read urls.
+    new_urls = new_raw.select("url").distinct()
+    affected = (
+        new_raw.select("mk_hash")
+        .unionByName(
+            old_raw.join(new_urls, "url", "left_semi").select("mk_hash")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # 4. gather all raw evidence for affected hashes, re-distill, re-agg.
+    gathered = (
+        old_raw.join(affected, "mk_hash", "left_semi")
+        .unionByName(new_raw)
+    )
+    distilled = distill_op.distill(gathered).localCheckpoint()
+    pa_affected = dedup_op.build_pa_statements(distilled)
+
+    merged_pa_base = (
+        old_pa.drop("belief")
+        .join(affected, "mk_hash", "left_anti")
+        .unionByName(pa_affected)
+    ).localCheckpoint()
+
+    # 5. refinement: recompute edges touching affected only. Both joins put
+    # the affected set on one side — never a full corpus self-join.
+    aff_pa = merged_pa_base.join(affected, "mk_hash", "left_semi")
+    links_spec_aff = refine_op.build_pa_link_restricted(
+        specific=aff_pa, general=merged_pa_base, isa_closure=isa_closure
+    )
+    links_gen_aff = refine_op.build_pa_link_restricted(
+        specific=merged_pa_base, general=aff_pa, isa_closure=isa_closure
+    )
+    aff_s = affected.withColumnRenamed("mk_hash", "supporting_mk_hash")
+    aff_d = affected.withColumnRenamed("mk_hash", "supported_mk_hash")
+    kept_links = old_link.join(aff_s, "supporting_mk_hash", "left_anti").join(
+        aff_d, "supported_mk_hash", "left_anti"
+    )
+    merged_link = (
+        kept_links.unionByName(links_spec_aff)
+        .unionByName(links_gen_aff)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # 6. belief: affected ∪ one-hop supported-by-affected.
+    dirty = (
+        affected.unionByName(
+            merged_link.join(aff_s, "supporting_mk_hash", "left_semi")
+            .select(F.col("supported_mk_hash").alias("mk_hash"))
+        )
+        .distinct()
+    )
+    dirty_pa = merged_pa_base.join(dirty, "mk_hash", "left_semi")
+    dirty_links = merged_link.join(
+        dirty.withColumnRenamed("mk_hash", "supported_mk_hash"),
+        "supported_mk_hash",
+        "left_semi",
+    )
+    # compute_belief needs supporting stmts' counts → pass merged corpus
+    # restricted to dirty ∪ their supporters.
+    supporters = dirty_links.select(
+        F.col("supporting_mk_hash").alias("mk_hash")
+    ).distinct()
+    belief_scope = merged_pa_base.join(
+        dirty.unionByName(supporters).distinct(), "mk_hash", "left_semi"
+    )
+    new_belief = belief_op.compute_belief(belief_scope, dirty_links, priors).join(
+        dirty, "mk_hash", "left_semi"
+    )
+    old_belief = old_pa.select("mk_hash", "belief").join(dirty, "mk_hash", "left_anti")
+    beliefs = old_belief.unionByName(
+        new_belief.withColumn("belief", F.coalesce("belief", F.lit(0.0)))
+    )
+    merged_final = (
+        merged_pa_base.join(beliefs, "mk_hash", "left")
+        .withColumn("belief", F.coalesce("belief", F.lit(0.0)))
+        .select(
+            "mk_hash", "matches_key", "type", "subj", "obj", "mods",
+            "ev_count", "src_counts", "belief", "agent_count",
+        )
+        .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
+        # materialize BEFORE the overwrite below — the plan reads the very
+        # pa_statements files the write deletes (read-overwrite-same-path)
+        .localCheckpoint()
+    )
+
+    # 7. writes: evidence append-only (new distilled rows), pa overwrite.
+    new_evidence = dedup_op.build_evidence(
+        distilled.join(old_raw.select("raw_id"), "raw_id", "left_anti")
+    )
+    storage.write_table(new_evidence, path("evidence"), None, mode="append")
+    storage.write_table(
+        new_raw.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd")),
+        path("raw_statements"),
+        ["day"],
+        mode="append",
+    )
+    storage.write_table(merged_final, path("pa_statements"), ["bucket"])
+    storage.write_table(merged_link.select("supported_mk_hash", "supporting_mk_hash"), path("pa_link"), None)
+    cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))
+    storage.write_table(cc, path("pa_groups"), None)
+
+    return {
+        "pa_statements": storage.read_table(spark, path("pa_statements")),
+        "pa_link": storage.read_table(spark, path("pa_link")),
+        "evidence": storage.read_table(spark, path("evidence")),
+        "raw_statements": storage.read_table(spark, path("raw_statements")),
+        "pa_groups": storage.read_table(spark, path("pa_groups")),
+    }

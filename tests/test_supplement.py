@@ -1,0 +1,101 @@
+"""Incremental supplement == full rebuild (the H1 equivalence property),
+plus the Structured Streaming wrapper."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.pipeline import run_pipeline
+from indra_db_spark.sources.synth import synth_pages
+from indra_db_spark.streaming.supplement import supplement_corpus
+
+N_OLD, N_NEW = 250, 120
+
+
+def _pa_snapshot(df):
+    return sorted(
+        (r["mk_hash"], r["matches_key"], r["ev_count"],
+         tuple(sorted(r["src_counts"].items())), round(r["belief"], 9))
+        for r in df.select(
+            "mk_hash", "matches_key", "ev_count", "src_counts", "belief"
+        ).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def dirs():
+    inc, full = tempfile.mkdtemp(prefix="kg_inc_"), tempfile.mkdtemp(prefix="kg_full_")
+    yield inc, full
+    shutil.rmtree(inc, ignore_errors=True)
+    shutil.rmtree(full, ignore_errors=True)
+
+
+def test_supplement_equals_full_rebuild(spark, dirs):
+    inc_dir, full_dir = dirs
+    old_pages = synth_pages(spark, N_OLD, seed=42)
+    # new batch: pages N_OLD..N_OLD+N_NEW — overlapping triples with old
+    all_pages = synth_pages(spark, N_OLD + N_NEW, seed=42)
+    doc_idx = F.regexp_extract("url", r"doc/(\d+)", 1).cast("long")
+    new_pages = all_pages.where(doc_idx >= N_OLD)
+
+    run_pipeline(spark, old_pages, inc_dir, pages_fingerprint="inc_old")
+    tables = supplement_corpus(spark, inc_dir, new_pages)
+
+    full = run_pipeline(spark, all_pages, full_dir, pages_fingerprint="full_all")
+
+    assert _pa_snapshot(tables["pa_statements"]) == _pa_snapshot(
+        full.tables["pa_statements"]
+    )
+    link_inc = sorted(map(tuple, tables["pa_link"].collect()))
+    link_full = sorted(map(tuple, full.tables["pa_link"].collect()))
+    assert link_inc == link_full
+    ev_inc = sorted(
+        map(tuple, tables["evidence"].select("mk_hash", "raw_id").collect())
+    )
+    ev_full = sorted(
+        map(tuple, full.tables["evidence"].select("mk_hash", "raw_id").collect())
+    )
+    assert ev_inc == ev_full
+
+
+def test_supplement_is_idempotent(spark, dirs):
+    """Re-applying the same batch changes nothing (deterministic raw_id
+    anti-join — H3 late/duplicate handling)."""
+    inc_dir, _ = dirs
+    all_pages = synth_pages(spark, N_OLD + N_NEW, seed=42)
+    doc_idx = F.regexp_extract("url", r"doc/(\d+)", 1).cast("long")
+    new_pages = all_pages.where(doc_idx >= N_OLD)
+    before = None
+    from indra_db_spark.sources.storage import read_table
+
+    before = _pa_snapshot(read_table(spark, f"{inc_dir}/pa_statements"))
+    tables = supplement_corpus(spark, inc_dir, new_pages)
+    assert _pa_snapshot(tables["pa_statements"]) == before
+
+
+def test_streaming_wrapper(spark):
+    from indra_db_spark.streaming.stream import incremental_assembly_stream
+
+    base = tempfile.mkdtemp(prefix="kg_stream_")
+    out_dir, stream_dir, ckpt = f"{base}/out", f"{base}/in", f"{base}/ckpt"
+    try:
+        run_pipeline(
+            spark, synth_pages(spark, 100, seed=42), out_dir, pages_fingerprint="s0"
+        )
+        n0 = spark.read.parquet(f"{out_dir}/pa_statements").count()
+        # drop a new batch of pages into the stream dir
+        synth_pages(spark, 160, seed=42).where("url > 'https://ex9'").write.parquet(
+            f"{stream_dir}/batch1"
+        )
+        q = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(f"{out_dir}/pa_statements").count()
+        assert n1 >= n0
+        # restart with no new files → no-op
+        q2 = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(f"{out_dir}/pa_statements").count() == n1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
