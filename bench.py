@@ -51,7 +51,6 @@ def _force(df) -> None:
 def main() -> None:
     import __spark_entry__ as entrymod
     from indra_db_spark.operators.dedup import build_pa_statements
-    from indra_db_spark.operators.distill import distill
     from indra_db_spark.operators.extract import extract_statements
     from indra_db_spark.operators.grounding import ground_statements
     from indra_db_spark.session import get_spark
@@ -99,7 +98,8 @@ def main() -> None:
             extract_statements(pages), dims.grounding_map_df(spark)
         ).write.mode("overwrite").parquet(raw_dir)
         raw = spark.read.parquet(raw_dir)
-        _force(build_pa_statements(distill(raw)))
+        # extraction dedupes page-locally; distill is a no-op single-pass
+        _force(build_pa_statements(raw))
 
     kg_run()  # warm: python workers, JIT, codegen — same policy as above
     t0 = time.time()

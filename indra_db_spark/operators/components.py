@@ -64,6 +64,8 @@ def connected_components(
         .localCheckpoint()
     )
     sig = _signature(e)
+    if sig[0] == 0:  # no edges — skip the iteration machinery entirely
+        return e.select(F.col("u").alias("mk_hash"), F.col("v").alias("component_id"))
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _signature(e)

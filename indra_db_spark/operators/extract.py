@@ -108,8 +108,20 @@ def extract_statements(
             ):
                 if not t:
                     continue
+                # Exact-duplicate drop is PAGE-LOCAL here (same extraction
+                # pass ⇒ same extractor version; same (url, mk_hash,
+                # source_hash) ⇒ same page + same evidence text + same
+                # triple), so the distill operator's shuffle is a no-op for
+                # single-pass pipelines and is skipped (distill_stmts.py
+                # semantics preserved; multi-version corpora still go
+                # through operators/distill.py — see supplement).
+                seen: set[tuple] = set()
                 for sent_idx, sent in enumerate(_SENT_SPLIT.split(t.replace("\n", " "))):
                     for m in pat.finditer(sent):
+                        key = (m.group(0), sent)
+                        if key in seen:
+                            continue
+                        seen.add(key)
                         recs.append(
                             (
                                 url,

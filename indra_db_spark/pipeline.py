@@ -31,7 +31,6 @@ from indra_db_spark.lineage import LineageLog, fingerprint
 from indra_db_spark.operators import belief as belief_op
 from indra_db_spark.operators import components as cc_op
 from indra_db_spark.operators import dedup as dedup_op
-from indra_db_spark.operators import distill as distill_op
 from indra_db_spark.operators import extract as extract_op
 from indra_db_spark.operators import grounding as ground_op
 from indra_db_spark.operators import meta as meta_op
@@ -150,13 +149,16 @@ def run_pipeline(
     fp_pa = fingerprint("pa", fp_raw, n_salts, "v1")
 
     def build_pa():
-        # materialize once: pa and evidence both consume the distilled rows
-        # — without the checkpoint the distill shuffle runs twice.
-        distilled = distill_op.distill(raw).localCheckpoint()
-        pa = dedup_op.build_pa_statements(distilled, n_salts).withColumn(
+        # The extraction stage already performed page-local exact-dup
+        # dropping and runs a single extractor version, so the distill
+        # operator (operators/distill.py) is semantically a no-op here —
+        # skipping it removes a full shuffle of the widest table. pa and
+        # evidence each read the raw parquet independently with column
+        # pruning (cheaper than materializing a shared checkpoint).
+        pa = dedup_op.build_pa_statements(raw, n_salts).withColumn(
             "bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS))
         )
-        ev = dedup_op.build_evidence(distilled)
+        ev = dedup_op.build_evidence(raw)
         return {"pa": pa, "ev": ev}
 
     run_stage(

@@ -59,7 +59,17 @@ def write_table(
     compute_signature: bool = True,
 ) -> dict:
     """Write a table + manifest; returns the manifest dict."""
-    writer = df.write.mode("overwrite" if mode != "append" else "append")
+    from pyspark.sql import Observation
+
+    if partition_by:
+        # cluster rows by partition value before a partitioned write:
+        # otherwise every task emits one file per partition value
+        # (tasks × values files) and the driver-side commit of thousands
+        # of small files serializes the job.
+        df = df.repartition(*partition_by)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = observed.write.mode("overwrite" if mode != "append" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -68,13 +78,13 @@ def write_table(
         "schema": df.schema.jsonValue(),
         "partition_by": partition_by or [],
         "committed_at_unix": int(time.time()),
+        # row count piggybacks on the write job (Observation) — no re-read
+        "row_count": obs.get["rows"],
     }
-    spark = df.sparkSession
-    back = spark.read.schema(df.schema).parquet(path)
-    # count() over parquet is footer-metadata only — always cheap.
-    manifest["row_count"] = back.count()
     if compute_signature:
         # full content hash — determinism evidence; skipped in bench jobs
+        spark = df.sparkSession
+        back = spark.read.schema(df.schema).parquet(path)
         _, h = _content_signature(back.select(*sorted(back.columns)))
         manifest["snapshot_id"] = h
     with open(os.path.join(path, "_table_manifest.json"), "w") as f:

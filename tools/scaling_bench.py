@@ -53,7 +53,10 @@ def gen_pages(n: int, pages_dir: str) -> None:
 def run_job(master: str, pkg_zip: str, pages_dir: str, runs: int) -> list[dict]:
     results = []
     for r in range(runs):
-        out_dir = tempfile.mkdtemp(prefix=f"kg_scale_{master.replace('[','').replace(']','')}_")
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out_dir = tempfile.mkdtemp(
+            prefix=f"kg_scale_{master.replace('[','').replace(']','')}_", dir=shm
+        )
         cmd = [
             SPARK_SUBMIT,
             "--master", master,
@@ -64,6 +67,10 @@ def run_job(master: str, pkg_zip: str, pages_dir: str, runs: int) -> list[dict]:
             "--conf", "spark.driver.memory=24g",
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.ui.showConsoleProgress=false",
+            # tmpfs for table + shuffle storage: on a real cluster IO
+            # bandwidth scales with executor count; a single shared disk
+            # would impose a serial floor that misrepresents the engine
+            *(["--conf", f"spark.local.dir={shm}/spark_local"] if shm else []),
             "--py-files", pkg_zip,
             os.path.join(REPO, "tools", "kg_job.py"),
             pages_dir, out_dir, f"scale_{master}_{r}",
@@ -84,7 +91,8 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
-    pages_dir = os.path.join(tempfile.gettempdir(), f"kg_scale_pages_{n_pages}")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    pages_dir = os.path.join(shm, f"kg_scale_pages_{n_pages}")
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         gen_pages(n_pages, pages_dir)
 
@@ -118,7 +126,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     stage_rows = "\n".join(
-        f"| {s} | {summary['stages_n'].get(s)} | {summary['stages_local32'].get(s)} |"
+        f"| {s} | {summary['stages_n'].get(s)} | {summary['stages_4n'].get(s)} |"
         for s in summary["stages_4n"]
     )
     with open(md, "w") as f:
@@ -133,6 +141,9 @@ this VM delivers ~18 effective cores (32 parallel procs run 32x work in
 ~2.2x single-proc time), so both levels are kept inside the machine's
 real parallelism — an 8→32 pair measures the hypervisor ceiling, not the
 engine (observed: local[32] ~= local[8] wall on identical input).
+Input, output tables and spark.local.dir live on tmpfs: a cluster's
+aggregate IO bandwidth scales with executor count, so a single shared
+disk would impose a serial floor that misrepresents the engine.
 
 | metric | {m_n} (N) | {m_4n} (4N) |
 |---|---|---|
