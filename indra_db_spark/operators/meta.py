@@ -61,6 +61,23 @@ def build_source_meta(pa_statements: DataFrame) -> DataFrame:
     )
 
 
+def build_topic_ref_counts(page_topics: DataFrame, evidence: DataFrame) -> DataFrame:
+    """Mesh*RefCounts analog (readonly_schema.py::MeshTermRefCounts):
+    per topic, distinct annotated pages and distinct statements with
+    evidence on them; ``topic_num`` strips the prefix (mesh_num analog, G7)."""
+    joined = page_topics.join(evidence.select("url", "mk_hash"), "url")
+    return (
+        joined.groupBy("topic_id")
+        .agg(
+            F.countDistinct("url").alias("ref_count"),
+            F.countDistinct("mk_hash").alias("stmt_count"),
+        )
+        .withColumn(
+            "topic_num", F.regexp_extract("topic_id", r"T(\d+)", 1).cast("int")
+        )
+    )
+
+
 def build_agent_interactions(pa_statements: DataFrame) -> DataFrame:
     """AgentInteractions analog: per (subj, obj, type) rollup."""
     key = lambda a: F.concat_ws(":", F.col(f"{a}.db_ns"), F.col(f"{a}.db_id"))

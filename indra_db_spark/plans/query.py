@@ -64,6 +64,7 @@ class QueryContext:
     pa_statements: DataFrame
     evidence: DataFrame
     name_meta: DataFrame | None = None
+    page_topics: DataFrame | None = None  # (url, topic_id) — MeSH analog
 
     def agents(self) -> DataFrame:
         if self.name_meta is not None:
@@ -252,6 +253,29 @@ class FromPapers(Query):
     def hashes(self, ctx: QueryContext) -> DataFrame:
         return (
             ctx.evidence.where(F.col("url").isin(self.urls))
+            .select("mk_hash")
+            .distinct()
+        )
+
+
+@dataclass
+class FromTopics(Query):
+    """Statements with evidence from pages annotated with any given topic —
+    the FromMeshIds analog (query.py::FromMeshIds → mesh_term_meta);
+    topics live in ctx.page_topics (url, topic_id)."""
+
+    topic_ids: list[str] = field(default_factory=list)
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        if ctx.page_topics is None:
+            raise ValueError("QueryContext.page_topics not provided")
+        urls = (
+            ctx.page_topics.where(F.col("topic_id").isin(self.topic_ids))
+            .select("url")
+            .distinct()
+        )
+        return (
+            ctx.evidence.join(F.broadcast(urls), "url", "left_semi")
             .select("mk_hash")
             .distinct()
         )

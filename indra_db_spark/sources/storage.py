@@ -57,16 +57,20 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     compute_signature: bool = True,
+    files_per_partition: int = 8,
 ) -> dict:
     """Write a table + manifest; returns the manifest dict."""
     from pyspark.sql import Observation
 
     if partition_by:
-        # cluster rows by partition value before a partitioned write:
+        # Cluster rows by partition value before a partitioned write:
         # otherwise every task emits one file per partition value
         # (tasks × values files) and the driver-side commit of thousands
-        # of small files serializes the job.
-        df = df.repartition(*partition_by)
+        # of small files serializes the job. A within-partition splitter
+        # keeps write parallelism above the distinct-value count (a pure
+        # repartition(day) caps encoding at #days concurrent tasks).
+        split = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(files_per_partition))
+        df = df.repartition(*partition_by, split)
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = observed.write.mode("overwrite" if mode != "append" else "append")

@@ -196,3 +196,19 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
                 }
             )
     return out
+
+
+def topic_rows(n: int, seed: int = 42) -> list[tuple[str, str]]:
+    """(url, topic_id) — MeSH-annotation analog: 1–3 deterministic topics
+    per page (reference: mesh_term_meta rows keyed by pmid)."""
+    out = []
+    for i in range(n):
+        spec = page_spec(i, seed)
+        k = 1 + _h(seed, i, 99, 0) % 3
+        for j in range(k):
+            out.append((spec["url"], f"T{_h(seed, i, 99, j + 1) % 50:03d}"))
+    return sorted(set(out))
+
+
+def page_topics(spark, n: int, seed: int = 42):
+    return spark.createDataFrame(topic_rows(n, seed), "url string, topic_id string")

@@ -146,3 +146,33 @@ def test_offset_pagination(ctx):
     ids1 = {r["mk_hash"] for r in page1}
     ids2 = {r["mk_hash"] for r in page2}
     assert ids1.isdisjoint(ids2) and len(page2) == 5
+
+
+def test_from_topics_and_ref_counts(spark, ctx):
+    from indra_db_spark.operators.meta import build_topic_ref_counts
+    from indra_db_spark.plans.query import FromTopics
+    from indra_db_spark.sources.synth import page_topics, topic_rows
+
+    topics = page_topics(spark, 300, seed=42)
+    ctx2 = QueryContext(
+        pa_statements=ctx.pa_statements,
+        evidence=ctx.evidence,
+        page_topics=topics,
+    )
+    some_topic = topics.first()["topic_id"]
+    got = _hashes(FromTopics([some_topic]), ctx2)
+    urls = {u for (u, t) in topic_rows(300) if t == some_topic}
+    want = {
+        r["mk_hash"]
+        for r in ctx.evidence.where(F.col("url").isin(list(urls))).collect()
+    }
+    assert got == want and got
+
+    rc = build_topic_ref_counts(topics, ctx.evidence)
+    row = rc.where(F.col("topic_id") == some_topic).first()
+    # pages with no statements don't count into ref_count (evidence join)
+    urls_with_ev = {
+        r["url"] for r in ctx.evidence.select("url").distinct().collect()
+    }
+    assert row["ref_count"] == len(urls & urls_with_ev)
+    assert row["topic_num"] == int(some_topic[1:])

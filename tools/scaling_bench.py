@@ -5,11 +5,15 @@ emulated as two parallelism levels of the same job on the same input
 (spark-submit --master local[N] — the driver-sanctioned proxy).
 Efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4.
 
-The pair defaults to ``local[2]`` → ``local[8]`` (override with
-SPARK_SCALE_N / SPARK_SCALE_4N): a CPU microbenchmark on this VM shows
-~18 effective cores (32 procs complete 32x work in ~2.2x single-proc
-time), so an 8→32 pair would measure the hypervisor ceiling, not the
-engine. 2→8 keeps both levels inside the machine's real parallelism.
+The pair defaults to ``local[1]`` → ``local[4]`` (override with
+SPARK_SCALE_N / SPARK_SCALE_4N). Why so low: (a) a CPU microbenchmark
+shows this VM delivers ~18 effective cores (32 procs complete 32x work
+in ~2.2x single-proc time), so an 8→32 pair measures the hypervisor
+ceiling, not the engine; (b) each PySpark task slot in the fused
+extraction stage drives TWO threads (JVM consumer + Arrow python
+worker), so local[k] really occupies ~2k cores — local[4] ≈ 8 busy
+cores stays inside the machine's real parallelism while preserving the
+4x resource ratio.
 
 Usage: python tools/scaling_bench.py [n_pages] [runs]
 Writes results to BENCH/BASELINE.md and prints a JSON summary.
@@ -101,8 +105,8 @@ def main() -> None:
 
     import os as _os
 
-    m_n = _os.environ.get("SPARK_SCALE_N", "local[2]")
-    m_4n = _os.environ.get("SPARK_SCALE_4N", "local[8]")
+    m_n = _os.environ.get("SPARK_SCALE_N", "local[1]")
+    m_4n = _os.environ.get("SPARK_SCALE_4N", "local[4]")
     res8 = run_job(m_n, pkg_zip, pages_dir, runs)
     res32 = run_job(m_4n, pkg_zip, pages_dir, runs)
 
