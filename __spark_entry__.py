@@ -428,6 +428,16 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=3, dim=64, n_planes=6).orderBy("query_id", "rank")
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF approximate NN (coarse-quantized inverted lists —
+    iterative centroid training, not ANSI-SQL-expressible)."""
+    from indra_db_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=3, n_cells=8, n_probe=2).orderBy("query_id", "rank")
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: multimodal feature-extraction plumbing (decode stubbed)."""
     from indra_db_spark.operators.multimodal import extract_media_features, synth_media
@@ -471,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": _q_minhash_lsh,
         "docs_simhash": _q_simhash,
         "embeddings_lsh_ann": _q_lsh_ann,
+        "embeddings_ivf_ann": _q_ivf_ann,
         "multimodal_features": _q_multimodal,
     }
 

@@ -102,6 +102,111 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest coarse centroids
+    (IVF inverted lists). Centroid count is small → the argmin is a pure
+    column expression over an array literal, no join."""
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.struct(
+                (-_dot(v, F.array(*[F.lit(x) for x in c]))
+                 / _norm(F.array(*[F.lit(float(x)) for x in c]))).alias("negsim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ordered = F.slice(F.array_sort(sims), 1, n_probe)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(ordered).alias("_a")
+    ).select(id_col, vec_col, F.col("_a.cid").alias("cell"))
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means-lite: seeds = the n_cells corpus vectors with
+    the smallest ids (reproducible, no RNG), a few Lloyd iterations as
+    whole-corpus aggregations. Centroid count is tiny → driver collect of
+    centroids only, never of the corpus."""
+    seeds = (
+        corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1)
+        agg = (
+            assigned.select(
+                "cell", F.col(vec_col).cast("array<double>").alias("_v")
+            )
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.array(*[
+                    F.sum(F.col("_v")[i]).alias(f"s{i}")
+                    for i in range(len(cents[0]))
+                ]).alias("sums"),
+            )
+            .collect()
+        )
+        for r in agg:
+            cents[r["cell"]] = [s / r["n"] for s in r["sums"]]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into coarse cells; each query
+    probes its ``n_probe`` nearest cells only. The cell equi-join replaces
+    the cross join — at scale the inverted lists are the partition layout."""
+    cents = centroids or train_centroids(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "cell"
+    )
+    q = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"), "cell"
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine(
+                    F.col("_qvec").cast("array<double>"),
+                    F.col("_cvec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

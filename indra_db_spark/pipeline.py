@@ -64,6 +64,7 @@ def run_pipeline(
     resume: bool = True,
     n_salts: int = dedup_op.DEFAULT_SALTS,
     signatures: bool = True,
+    include_mentions: bool = False,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; all outputs land under out_dir."""
     log = LineageLog(out_dir)
@@ -144,6 +145,17 @@ def run_pipeline(
         res.metrics[stage] = log.read(stage) or {}
 
     raw = res.tables["raw_statements"]
+
+    # ---- optional: mentions table (schema registry §8.1; off by default —
+    # a second extraction pass over pages, only for NER-style consumers)
+    if include_mentions:
+        fp_m = fingerprint("mentions", pages_fingerprint, "v1")
+        run_stage(
+            "mentions",
+            fp_m,
+            lambda: {"m": extract_op.extract_mentions(pages)},
+            [("mentions", "m", None)],
+        )
 
     # ---- stage 2: distill + dedup → pa_statements_base + evidence
     fp_pa = fingerprint("pa", fp_raw, n_salts, "v1")

@@ -127,6 +127,45 @@ class Query:
         )
         return stmts.join(ev_packed, "mk_hash", "left")
 
+    # ---- grouped result modes (query.py::Query.get_interactions /
+    # get_relations / get_agents — same hash set, different final grouping)
+    def get_interactions(self, ctx: QueryContext) -> DataFrame:
+        """Per-statement rows with agent keys + source map (hash grain)."""
+        key = lambda a: F.concat_ws(":", F.col(f"{a}.db_ns"), F.col(f"{a}.db_id"))
+        return ctx.pa_statements.join(self.hashes(ctx), "mk_hash", "left_semi").select(
+            "mk_hash",
+            key("subj").alias("subj_key"),
+            key("obj").alias("obj_key"),
+            "type",
+            "ev_count",
+            "belief",
+            "src_counts",
+        )
+
+    def get_relations(self, ctx: QueryContext) -> DataFrame:
+        """Grouped by (agent pair, type) — relation grain."""
+        return (
+            self.get_interactions(ctx)
+            .groupBy("subj_key", "obj_key", "type")
+            .agg(
+                F.count(F.lit(1)).alias("n_statements"),
+                F.sum("ev_count").alias("total_ev"),
+                F.max("belief").alias("max_belief"),
+            )
+        )
+
+    def get_agents(self, ctx: QueryContext) -> DataFrame:
+        """Grouped by agent pair across all types — agent grain."""
+        return (
+            self.get_interactions(ctx)
+            .groupBy("subj_key", "obj_key")
+            .agg(
+                F.collect_set("type").alias("types"),
+                F.count(F.lit(1)).alias("n_statements"),
+                F.sum("ev_count").alias("total_ev"),
+            )
+        )
+
 
 @dataclass
 class EmptyQuery(Query):

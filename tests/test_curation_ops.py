@@ -139,3 +139,24 @@ def test_multimodal_features(spark):
     # deterministic: same content ⇒ same feature
     again = {r["media_id"]: r["feature"] for r in extract_media_features(media).collect()}
     assert again == {k: v["feature"] for k, v in by.items()}
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.005 * rng.randn(16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from indra_db_spark.operators.similarity import ivf_topk, train_centroids
+
+    cents = train_centroids(emb, n_cells=4)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    res = ivf_topk(emb, emb.where("vec_id = 0"), k=3, n_probe=2, centroids=cents)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in res.collect()}
+    # planted near-identical neighbor shares the cell -> found at rank 1
+    assert got[(0, 1)] == 1
+    # deterministic across invocations
+    res2 = ivf_topk(emb, emb.where("vec_id = 0"), k=3, n_probe=2, centroids=cents)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, res2.collect()))

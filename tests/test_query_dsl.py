@@ -176,3 +176,22 @@ def test_from_topics_and_ref_counts(spark, ctx):
     }
     assert row["ref_count"] == len(urls & urls_with_ev)
     assert row["topic_num"] == int(some_topic[1:])
+
+
+def test_result_modes(ctx):
+    q = HasAgent(namespace="HGNC", db_id="11998")
+    inter = q.get_interactions(ctx)
+    rel = q.get_relations(ctx)
+    ag = q.get_agents(ctx)
+    n_hashes = len(_hashes(q, ctx))
+    assert inter.count() == n_hashes
+    assert rel.count() <= n_hashes
+    assert ag.count() <= rel.count()
+    # relation totals re-aggregate to interaction totals
+    assert (
+        rel.agg(F.sum("n_statements")).collect()[0][0] == n_hashes
+    )
+    row = ag.where(
+        (F.col("subj_key") == "HGNC:11998") & (F.col("obj_key") == "HGNC:10001")
+    ).first()
+    assert row is not None and "Activation" in row["types"]
