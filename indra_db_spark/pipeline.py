@@ -83,10 +83,10 @@ def run_pipeline(
         return f"{out_dir}/{table}"
 
     def run_stage(stage, fp, builder, table_specs):
-        """table_specs: list of (table_name, df_builder_result_key, partition_cols)."""
+        """table_specs: (table_name, result_key, partition_cols[, sort_cols])."""
         if resume and log.completed(stage, fp):
             res.skipped.append(stage)
-            for tbl, _, _ in table_specs:
+            for tbl, *_ in table_specs:
                 res.tables[tbl] = storage.read_table(spark, path(tbl))
             res.metrics[stage] = {**(log.read(stage) or {}), "resumed": True}
             return
@@ -94,9 +94,11 @@ def run_pipeline(
         outputs = builder()
         rows_total = 0
         extra = {}
-        for tbl, key, part_cols in table_specs:
+        for tbl, key, part_cols, *rest in table_specs:
             m = storage.write_table(
-                outputs[key], path(tbl), part_cols, compute_signature=signatures
+                outputs[key], path(tbl), part_cols,
+                compute_signature=signatures,
+                sort_by=rest[0] if rest else None,
             )
             rows_total += m.get("row_count", 0)
             extra[f"{tbl}_rows"] = m.get("row_count")
@@ -178,8 +180,8 @@ def run_pipeline(
         fp_pa,
         build_pa,
         [
-            ("pa_statements_base", "pa", ["bucket"]),
-            ("evidence", "ev", None),
+            ("pa_statements_base", "pa", ["bucket"], ["mk_hash"]),
+            ("evidence", "ev", None, ["mk_hash"]),
         ],
     )
     pa_base = res.tables["pa_statements_base"]
@@ -213,7 +215,8 @@ def run_pipeline(
         return {"final": final}
 
     run_stage(
-        "belief", fp_belief, build_final, [("pa_statements", "final", ["bucket"])]
+        "belief", fp_belief, build_final,
+        [("pa_statements", "final", ["bucket"], ["mk_hash"])]
     )
     pa_final = res.tables["pa_statements"]
 

@@ -58,8 +58,15 @@ def write_table(
     mode: str = "overwrite",
     compute_signature: bool = True,
     files_per_partition: int = 8,
+    sort_by: list[str] | None = None,
 ) -> dict:
-    """Write a table + manifest; returns the manifest dict."""
+    """Write a table + manifest; returns the manifest dict.
+
+    ``sort_by``: sortWithinPartitions before writing — parquet min/max
+    column stats then prune row groups for point lookups on those columns
+    (the shim's stand-in for Iceberg sorted writes / Z-order; the
+    reference builds btree indexes instead — schemas/indexes.py).
+    """
     from pyspark.sql import Observation
 
     if partition_by:
@@ -71,6 +78,8 @@ def write_table(
         # repartition(day) caps encoding at #days concurrent tasks).
         split = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(files_per_partition))
         df = df.repartition(*partition_by, split)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = observed.write.mode("overwrite" if mode != "append" else "append")
