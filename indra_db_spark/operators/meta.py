@@ -61,6 +61,25 @@ def build_source_meta(pa_statements: DataFrame) -> DataFrame:
     )
 
 
+def export_sif(pa_statements: DataFrame, path: str) -> None:
+    """SIF dump analog (indra_db/util/dump_sif.py): one
+    ``subj<TAB>type<TAB>obj`` interaction row per (pair, type), strongest
+    evidence first. Plain CSV so downstream network tools ingest directly."""
+    key = lambda a: F.concat_ws(":", F.col(f"{a}.db_ns"), F.col(f"{a}.db_id"))
+    (
+        pa_statements.groupBy(
+            key("subj").alias("subj_key"), F.col("type"), key("obj").alias("obj_key")
+        )
+        .agg(F.sum("ev_count").alias("total_ev"))
+        .orderBy(F.desc("total_ev"), "subj_key", "obj_key")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
 def build_topic_ref_counts(page_topics: DataFrame, evidence: DataFrame) -> DataFrame:
     """Mesh*RefCounts analog (readonly_schema.py::MeshTermRefCounts):
     per topic, distinct annotated pages and distinct statements with

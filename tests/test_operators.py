@@ -232,3 +232,17 @@ def test_belief_inherits_supporting_evidence(spark):
     }
     assert math.isclose(b[1], 1 - (0.05 + 0.3**2))  # inherited: n_src0 = 2
     assert math.isclose(b[2], 1 - 0.35)  # supporting keeps its own only
+
+
+def test_export_sif(spark, tmp_path, raw_small):
+    from indra_db_spark.operators.dedup import build_pa_statements
+    from indra_db_spark.operators.meta import export_sif
+
+    pa = build_pa_statements(raw_small).withColumn("belief", F.lit(0.0))
+    out = str(tmp_path / "sif")
+    export_sif(pa, out)
+    back = spark.read.option("sep", "\t").option("header", "true").csv(out)
+    assert back.columns == ["subj_key", "type", "obj_key", "total_ev"]
+    assert back.count() == pa.select("subj", "type", "obj").distinct().count()
+    top = back.first()
+    assert top["subj_key"] == "HGNC:11998"  # hub triple leads
