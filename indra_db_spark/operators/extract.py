@@ -94,6 +94,16 @@ def extract_statements(
 ) -> DataFrame:
     """pages → pre-grounding statement rows (vectorized)."""
     lex = lexicon or LX.LEXICON
+    # html is only consulted when text is NULL (the per-row invariant) —
+    # blank it out otherwise so the Arrow exchange doesn't ship the biggest
+    # column for ~all rows (the UDF regex itself is microseconds/page; the
+    # transfer is the extraction stage's real cost).
+    pages = pages.withColumn(
+        "html",
+        F.when(F.col("text").isNotNull(), F.lit(None).cast("binary")).otherwise(
+            F.col("html")
+        ),
+    )
 
     def read_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _pattern(lex)
@@ -151,6 +161,12 @@ def extract_mentions(pages: DataFrame, lexicon: list[str] | None = None) -> Data
     from indra_db_spark.functions.hashing import fold_md5_64
 
     lex = lexicon or LX.LEXICON
+    pages = pages.withColumn(
+        "html",
+        F.when(F.col("text").isNotNull(), F.lit(None).cast("binary")).otherwise(
+            F.col("html")
+        ),
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ents = "|".join(
