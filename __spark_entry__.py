@@ -177,6 +177,26 @@ def _q_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: CUBE over (returnflag, linestatus) with ALL-labelled subtotals
+    (labels instead of grouping_id — bit orders differ across engines)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
 def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family: top-3 lineitems per supplier by extendedprice (W2 analog)."""
     from pyspark.sql import Window
@@ -461,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join": _q_star_join,
         "semi_anti_join": _q_semi_anti,
         "agg_rollup": _q_agg_rollup,
+        "cube_metrics": _q_cube_metrics,
         "source_pivot": _q_source_pivot,
         "window_topk": _q_window_topk,
         "window_running": _q_window_running,
@@ -556,6 +577,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "cube_metrics": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                   coalesce(l_linestatus, 'ALL') AS lstatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rflag, lstatus
         """,
         "source_pivot": """
             WITH per_type AS (

@@ -25,6 +25,7 @@ HEADLINE = [
     "star_join",
     "semi_anti_join",
     "agg_rollup",
+    "cube_metrics",
     "source_pivot",
     "window_topk",
     "window_running",

@@ -246,3 +246,45 @@ def test_export_sif(spark, tmp_path, raw_small):
     assert back.count() == pa.select("subj", "type", "obj").distinct().count()
     top = back.first()
     assert top["subj_key"] == "HGNC:11998"  # hub triple leads
+
+
+def test_connected_components_random_graph(spark):
+    """50k-edge random graph vs a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(7)
+    n, m = 30000, 50000
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edges:
+        for v in (a, b):
+            truth[v] = find(v)
+    # canonical: min member id per component
+    comp_min = {}
+    for v, r in truth.items():
+        comp_min.setdefault(r, v)
+        comp_min[r] = min(comp_min[r], v)
+    want = {v: comp_min[r] for v, r in truth.items()}
+
+    df = spark.createDataFrame(
+        edges, "supported_mk_hash long, supporting_mk_hash long"
+    )
+    got = {
+        r["mk_hash"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
