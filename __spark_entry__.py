@@ -388,10 +388,12 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.operators.grounding import ground_statements
     from indra_db_spark.operators.meta import build_agent_interactions
     from indra_db_spark.sources import dims
+    from indra_db_spark.sources.synth import source_expr as synth_source_expr
     from indra_db_spark.sources.synth import synth_pages
 
     pages = synth_pages(spark, 500, seed=42)
-    raw = ground_statements(extract_statements(pages), dims.grounding_map_df(spark))
+    raw = ground_statements(extract_statements(pages), dims.grounding_map_df(spark),
+                            source_expr=synth_source_expr)
     pa = build_pa_statements(distill(raw)).withColumn("belief", F.lit(0.0))
     return build_agent_interactions(pa).orderBy("subj_key", "obj_key", "type")
 
@@ -406,10 +408,12 @@ def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.operators.grounding import ground_statements
     from indra_db_spark.operators.refine import build_pa_link
     from indra_db_spark.sources import dims
+    from indra_db_spark.sources.synth import source_expr as synth_source_expr
     from indra_db_spark.sources.synth import synth_pages
 
     pages = synth_pages(spark, 500, seed=42)
-    raw = ground_statements(extract_statements(pages), dims.grounding_map_df(spark))
+    raw = ground_statements(extract_statements(pages), dims.grounding_map_df(spark),
+                            source_expr=synth_source_expr)
     pa = build_pa_statements(distill(raw)).withColumn("belief", F.lit(0.0))
     link = build_pa_link(pa, dims.isa_closure_df(spark))
     cc = assign_components(pa, link)
@@ -595,7 +599,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    list_aggregate(list_sort(list(event_type || ':' || n::VARCHAR)), 'string_agg', ',')
                        AS type_counts,
-                   sum(n) AS total_events
+                   sum(n)::BIGINT AS total_events
             FROM per_type
             GROUP BY user_id
             ORDER BY user_id

@@ -56,7 +56,7 @@ def main() -> None:
     from indra_db_spark.operators.grounding import ground_statements
     from indra_db_spark.session import get_spark
     from indra_db_spark.sources import dims
-    from indra_db_spark.sources.synth import synth_pages
+    from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -96,7 +96,8 @@ def main() -> None:
         # downstream aggregations fork the lineage, so chaining lazily
         # would recompute the extraction UDF once per fork.
         ground_statements(
-            extract_statements(pages), dims.grounding_map_df(spark)
+            extract_statements(pages), dims.grounding_map_df(spark),
+            source_expr=synth_source_expr,
         ).write.mode("overwrite").parquet(raw_dir)
         raw = spark.read.parquet(raw_dir)
         # extraction dedupes page-locally; distill is a no-op single-pass

@@ -83,7 +83,14 @@ class LineageLog:
             for part, n in partition_counts.items():
                 safe = str(part).replace("/", "_")
                 with open(os.path.join(d, f"part={safe}.json"), "w") as f:
-                    json.dump({"partition": str(part), "rows": n}, f)
+                    json.dump(
+                        {
+                            "partition": str(part),
+                            "rows": n,
+                            "input_fingerprint": input_fingerprint,
+                        },
+                        f,
+                    )
         rec = {
             "stage": stage,
             "input_fingerprint": input_fingerprint,
@@ -97,7 +104,13 @@ class LineageLog:
         with open(self._stage_path(stage), "w") as f:
             json.dump(rec, f, indent=1)
 
-    def completed_partitions(self, stage: str) -> set[str]:
+    def completed_partitions(
+        self, stage: str, input_fingerprint: str | None = None
+    ) -> set[str]:
+        """Partitions committed for this stage. With ``input_fingerprint``,
+        only partitions written under that exact fingerprint count — a
+        partial resume must never trust partitions from a run with
+        different inputs/params."""
         d = self._stage_dir(stage)
         if not os.path.isdir(d):
             return set()
@@ -105,8 +118,27 @@ class LineageLog:
         for name in os.listdir(d):
             if name.startswith("part=") and name.endswith(".json"):
                 with open(os.path.join(d, name)) as f:
-                    out.add(str(json.load(f)["partition"]))
+                    rec = json.load(f)
+                if (
+                    input_fingerprint is not None
+                    and rec.get("input_fingerprint") != input_fingerprint
+                ):
+                    continue
+                out.add(str(rec["partition"]))
         return out
+
+    def clear_stage(self, stage: str) -> None:
+        """Drop a stage's commit + partition records (fingerprint-
+        invalidated rerun: the stage's outputs are about to be rebuilt from
+        scratch, so stale bookkeeping must not survive either)."""
+        d = self._stage_dir(stage)
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if name == "_stage.json" or (
+                name.startswith("part=") and name.endswith(".json")
+            ):
+                os.remove(os.path.join(d, name))
 
     def all_stages(self) -> dict[str, dict]:
         if not os.path.isdir(self.root):

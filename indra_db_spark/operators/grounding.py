@@ -14,7 +14,9 @@ join followed by a window over the fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import (
@@ -74,12 +76,31 @@ def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
     )
 
 
-def ground_statements(extracted: DataFrame, grounding_map: DataFrame) -> DataFrame:
+def default_source_expr(url: Column) -> Column:
+    """Engine-default source label: the url's host (``scheme://host/…``).
+
+    Real crawl corpora identify provenance by registrable domain; corpora
+    with their own source convention pass ``source_expr`` explicitly (the
+    synthetic corpus's ``https://ex<k>.org → src<k>`` mapping lives in
+    :func:`indra_db_spark.sources.synth.source_expr`, not here).
+    """
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def ground_statements(
+    extracted: DataFrame,
+    grounding_map: DataFrame,
+    source_expr: "Column | Callable[[Column], Column] | None" = None,
+) -> DataFrame:
     """Pre-grounding statement rows → ``raw_statements`` (SURVEY.md §8.1).
 
     Grounds subj and obj via two broadcast joins, builds ModConditions,
     then computes matches_key / mk_hash / source_hash / raw_id as pure
     column expressions (whole-stage codegen, §8.3).
+
+    ``source_expr``: evidence-source derivation — a Column, or a callable
+    taking the url Column; default = the url host
+    (:func:`default_source_expr`).
     """
     # Materialize the resolved dim once (localCheckpoint): subj and obj
     # grounding each build a broadcast from it, and without materialization
@@ -103,11 +124,13 @@ def ground_statements(extracted: DataFrame, grounding_map: DataFrame) -> DataFra
 
     mk = matches_key_expr(F.col("type"), F.col("subj"), F.col("obj"), F.col("mods"))
     df = df.withColumn("matches_key", mk)
-    # Source identity comes from the crawl host: https://ex<k>.org → src<k>.
-    df = df.withColumn(
-        "source",
-        F.concat(F.lit("src"), F.regexp_extract("url", r"https://ex(\d+)\.org", 1)),
-    )
+    if source_expr is None:
+        src = default_source_expr(F.col("url"))
+    elif callable(source_expr):
+        src = source_expr(F.col("url"))
+    else:
+        src = source_expr
+    df = df.withColumn("source", src)
     return (
         df.withColumn("mk_hash", fold_md5_64(F.col("matches_key")))
         .withColumn("source_hash", source_hash_expr(F.col("source"), F.col("evidence_text")))

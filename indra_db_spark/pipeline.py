@@ -65,11 +65,21 @@ def run_pipeline(
     n_salts: int = dedup_op.DEFAULT_SALTS,
     signatures: bool = True,
     include_mentions: bool = False,
+    source_expr=None,
 ) -> PipelineResult:
-    """Run (or resume) the full pipeline; all outputs land under out_dir."""
+    """Run (or resume) the full pipeline; all outputs land under out_dir.
+
+    ``source_expr``: evidence-source derivation passed to
+    ``ground_statements`` (default: url host). Folded into the stage
+    fingerprint — changing it invalidates raw_statements and downstream.
+
+    Writes use **static** overwrite: a fingerprint-invalidated rerun
+    replaces the whole table (dynamic partition overwrite would leave
+    stale partitions from the prior corpus in place); the partial-resume
+    path appends only the missing, fingerprint-matching partitions.
+    """
     log = LineageLog(out_dir)
     res = PipelineResult()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     grounding_map = (
         grounding_map if grounding_map is not None else dims_mod.grounding_map_df(spark)
@@ -111,7 +121,11 @@ def run_pipeline(
 
     # ---- stage 1: extract + ground → raw_statements (day-partitioned,
     # per-partition resume: only days missing from the manifest are read).
-    fp_raw = fingerprint("raw", pages_fingerprint, extractor_version, "v1")
+    source_tag = (
+        "host" if source_expr is None
+        else getattr(source_expr, "__name__", None) or str(source_expr)
+    )
+    fp_raw = fingerprint("raw", pages_fingerprint, extractor_version, source_tag, "v1")
     stage = "raw_statements"
     if resume and log.completed(stage, fp_raw):
         res.skipped.append(stage)
@@ -120,7 +134,8 @@ def run_pipeline(
     else:
         t0 = time.time()
         work = pages
-        done_days = log.completed_partitions(stage) if resume else set()
+        # Only partitions written under the SAME fingerprint count as done.
+        done_days = log.completed_partitions(stage, fp_raw) if resume else set()
         stage_rec = log.read(stage)
         partial_ok = (
             bool(done_days)
@@ -128,10 +143,14 @@ def run_pipeline(
         )
         if partial_ok:
             work = pages.where(~_day("warc_ts").isin(sorted(done_days)))
+        else:
+            # Fingerprint-invalidated (or first) run: stale per-partition
+            # bookkeeping must not survive the full static overwrite below.
+            log.clear_stage(stage)
         extracted = extract_op.extract_statements(work, extractor_version)
-        raw = ground_op.ground_statements(extracted, grounding_map).withColumn(
-            "day", _day("warc_ts")
-        )
+        raw = ground_op.ground_statements(
+            extracted, grounding_map, source_expr=source_expr
+        ).withColumn("day", _day("warc_ts"))
         mode = "append" if partial_ok else "overwrite"
         storage.write_table(
             raw, path("raw_statements"), ["day"], mode=mode, compute_signature=False

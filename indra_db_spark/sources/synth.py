@@ -87,6 +87,22 @@ def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
     }
 
 
+def source_expr(url_col=None):
+    """Source label for *synthetic* urls: ``https://ex<k>.org/… → src<k>``.
+
+    Pass as ``ground_statements(..., source_expr=synth.source_expr)`` when
+    the corpus comes from :func:`synth_pages`; real corpora use the engine
+    default (url host, grounding.default_source_expr).
+    """
+    from pyspark.sql import functions as F
+
+    if url_col is None:
+        url_col = F.col("url")
+    return F.concat(
+        F.lit("src"), F.regexp_extract(url_col, r"https://ex(\d+)\.org", 1)
+    )
+
+
 def _sentence_text(s: dict) -> str:
     mod = f" on {s['residue']}{s['position']}" if s["residue"] else ""
     return f"{s['subj']} {s['trigger']} {s['obj']}{mod}."

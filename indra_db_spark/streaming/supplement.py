@@ -53,6 +53,7 @@ def supplement_corpus(
     isa_closure: DataFrame | None = None,
     priors: DataFrame | None = None,
     extractor_version: str = extract_op.EXTRACTOR_VERSION,
+    source_expr=None,
 ) -> dict[str, DataFrame]:
     """Merge new pages into the corpus at ``out_dir`` (built by
     pipeline.run_pipeline). Returns the updated tables."""
@@ -71,7 +72,9 @@ def supplement_corpus(
 
     # 1-2. new raw batch, idempotent vs existing (deterministic raw_id).
     new_raw = ground_op.ground_statements(
-        extract_op.extract_statements(new_pages, extractor_version), grounding_map
+        extract_op.extract_statements(new_pages, extractor_version),
+        grounding_map,
+        source_expr=source_expr,
     ).join(old_raw.select("raw_id"), "raw_id", "left_anti")
     new_raw = new_raw.localCheckpoint()  # consumed several times below
 

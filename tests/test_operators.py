@@ -16,7 +16,7 @@ from indra_db_spark.operators.extract import extract_statements
 from indra_db_spark.operators.grounding import ground_statements, resolve_grounding_map
 from indra_db_spark.operators.refine import build_pa_link
 from indra_db_spark.sources import dims
-from indra_db_spark.sources.synth import synth_pages
+from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 
 
 # ---------------------------------------------------------------- grounding
@@ -35,7 +35,8 @@ def _mini_pages(spark, text):
 
 def _ground(spark, text):
     raw = extract_statements(_mini_pages(spark, text))
-    return ground_statements(raw, dims.grounding_map_df(spark)).collect()
+    return ground_statements(raw, dims.grounding_map_df(spark),
+                             source_expr=synth_source_expr).collect()
 
 
 def test_grounding_score_tiebreak(spark):
@@ -75,8 +76,10 @@ def test_resolve_grounding_map_one_row_per_text(spark):
 def test_distill_keeps_best_version_and_drops_exact_dupes(spark):
     pages = synth_pages(spark, 60)
     gm = dims.grounding_map_df(spark)
-    new = ground_statements(extract_statements(pages, "2.0"), gm)
-    old = ground_statements(extract_statements(pages, "1.0"), gm)
+    new = ground_statements(extract_statements(pages, "2.0"), gm,
+                            source_expr=synth_source_expr)
+    old = ground_statements(extract_statements(pages, "1.0"), gm,
+                            source_expr=synth_source_expr)
     both = new.unionByName(old)
     d = distill(both)
     assert d.where(F.col("extractor_version") == "1.0").count() == 0
@@ -90,7 +93,8 @@ def test_distill_keeps_best_version_and_drops_exact_dupes(spark):
 def raw_small(spark):
     pages = synth_pages(spark, 400)  # includes hub-key skew by construction
     raw = ground_statements(
-        extract_statements(pages), dims.grounding_map_df(spark)
+        extract_statements(pages), dims.grounding_map_df(spark),
+        source_expr=synth_source_expr,
     )
     return distill(raw).cache()
 
@@ -288,3 +292,67 @@ def test_connected_components_random_graph(spark):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# -------------------------------------------------- source derivation (G/A)
+def test_default_source_is_url_host(spark):
+    """Engine default: source = url host — a real-crawl corpus (non-ex*.org
+    urls) must yield per-host sources, not a collapsed constant."""
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "https://news.example.com/a/1",
+                "http://blog.other.net/p?x=1",
+                "https://news.example.com/a/2",
+            ],
+            "warc_ts": [pd.Timestamp("2024-01-01")] * 3,
+            "html": [None] * 3,
+            "text": [
+                "TP53GEN activates MDM2GEN.",
+                "KRASGEN inhibits TP53GEN.",
+                "EGFRGEN binds KRASGEN.",
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    raw = ground_statements(
+        extract_statements(pages), dims.grounding_map_df(spark)
+    )
+    got = {(r["url"], r["source"]) for r in raw.select("url", "source").collect()}
+    assert got == {
+        ("https://news.example.com/a/1", "news.example.com"),
+        ("http://blog.other.net/p?x=1", "blog.other.net"),
+        ("https://news.example.com/a/2", "news.example.com"),
+    }
+
+
+def test_synth_source_expr_maps_ex_hosts(spark):
+    (r,) = _ground(spark, "TP53GEN activates MDM2GEN.")
+    assert r["source"] == "src3"  # _mini_pages uses https://ex3.org
+
+
+def test_belief_default_prior_for_unknown_and_kb_sources(spark):
+    """Sources without a prior row must not be dropped: kb_* gets the
+    near-certain knowledgebase prior, others the default reader prior."""
+    pa = spark.createDataFrame(
+        [
+            (1, {"kb_signor": 1}),            # kb-only statement
+            (2, {"src0": 1, "kb_signor": 1}),  # mixed
+            (3, {"mystery": 1}),               # unknown reader source
+        ],
+        "mk_hash long, src_counts map<string,long>",
+    )
+    no_links = spark.createDataFrame([], schemas.PA_LINK)
+    from indra_db_spark.operators.belief import (
+        DEFAULT_P_RAND, DEFAULT_P_SYST, KB_P_RAND, KB_P_SYST,
+    )
+
+    b = {
+        r["mk_hash"]: r["belief"]
+        for r in compute_belief(pa, no_links, dims.source_priors_df(spark)).collect()
+    }
+    assert math.isclose(b[1], 1 - (KB_P_SYST + KB_P_RAND))
+    assert math.isclose(b[2], 1 - (0.05 + 0.3) * (KB_P_SYST + KB_P_RAND))
+    assert math.isclose(b[3], 1 - (DEFAULT_P_SYST + DEFAULT_P_RAND))
+    assert b[1] > 0.9  # database evidence is near-certain

@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import fold_md5_64_py
 from indra_db_spark.pipeline import run_pipeline
-from indra_db_spark.sources.synth import reference_statements, synth_pages
+from indra_db_spark.sources.synth import (
+    reference_statements,
+    source_expr as synth_source_expr,
+    synth_pages,
+)
 
 N_GOLDEN = 200
 
@@ -25,7 +29,10 @@ N_GOLDEN = 200
 def golden(spark):
     out = tempfile.mkdtemp(prefix="kg_golden_")
     pages = synth_pages(spark, N_GOLDEN, seed=42)
-    res = run_pipeline(spark, pages, out, pages_fingerprint=f"golden{N_GOLDEN}")
+    res = run_pipeline(
+        spark, pages, out, pages_fingerprint=f"golden{N_GOLDEN}",
+        source_expr=synth_source_expr,
+    )
     yield res
     shutil.rmtree(out, ignore_errors=True)
 

@@ -26,14 +26,15 @@ from indra_db_spark.plans.query import (
 )
 from indra_db_spark.sources import dims
 from indra_db_spark.sources.knowledgebase import load_knowledgebase
-from indra_db_spark.sources.synth import synth_pages
+from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 
 
 @pytest.fixture(scope="module")
 def ctx(spark):
     pages = synth_pages(spark, 300, seed=42)
     raw = distill(
-        ground_statements(extract_statements(pages), dims.grounding_map_df(spark))
+        ground_statements(extract_statements(pages), dims.grounding_map_df(spark),
+                          source_expr=synth_source_expr)
     )
     kb = load_knowledgebase(
         spark,

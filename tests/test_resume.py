@@ -8,7 +8,7 @@ import tempfile
 
 from indra_db_spark.pipeline import run_pipeline
 from indra_db_spark.sources.storage import read_manifest
-from indra_db_spark.sources.synth import synth_pages
+from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 
 N = 150
 
@@ -17,7 +17,8 @@ def _run(spark, out, fp="resume_t"):
     # wide ts stride → pages span several day-partitions (137 s would put
     # all 150 test pages on one day)
     pages = synth_pages(spark, N, seed=42, ts_stride_s=50000)
-    return run_pipeline(spark, pages, out, pages_fingerprint=fp)
+    return run_pipeline(spark, pages, out, pages_fingerprint=fp,
+                        source_expr=synth_source_expr)
 
 
 def test_rerun_is_noop_and_partition_manifests_exist(spark):

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from indra_db_spark.pipeline import run_pipeline
-from indra_db_spark.sources.synth import synth_pages
+from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 from indra_db_spark.streaming.supplement import supplement_corpus
 
 N_OLD, N_NEW = 250, 120
@@ -40,10 +40,13 @@ def test_supplement_equals_full_rebuild(spark, dirs):
     doc_idx = F.regexp_extract("url", r"doc/(\d+)", 1).cast("long")
     new_pages = all_pages.where(doc_idx >= N_OLD)
 
-    run_pipeline(spark, old_pages, inc_dir, pages_fingerprint="inc_old")
-    tables = supplement_corpus(spark, inc_dir, new_pages)
+    run_pipeline(spark, old_pages, inc_dir, pages_fingerprint="inc_old",
+                 source_expr=synth_source_expr)
+    tables = supplement_corpus(spark, inc_dir, new_pages,
+                               source_expr=synth_source_expr)
 
-    full = run_pipeline(spark, all_pages, full_dir, pages_fingerprint="full_all")
+    full = run_pipeline(spark, all_pages, full_dir, pages_fingerprint="full_all",
+                        source_expr=synth_source_expr)
 
     assert _pa_snapshot(tables["pa_statements"]) == _pa_snapshot(
         full.tables["pa_statements"]
@@ -71,7 +74,8 @@ def test_supplement_is_idempotent(spark, dirs):
     from indra_db_spark.sources.storage import read_table
 
     before = _pa_snapshot(read_table(spark, f"{inc_dir}/pa_statements"))
-    tables = supplement_corpus(spark, inc_dir, new_pages)
+    tables = supplement_corpus(spark, inc_dir, new_pages,
+                               source_expr=synth_source_expr)
     assert _pa_snapshot(tables["pa_statements"]) == before
 
 
@@ -82,19 +86,22 @@ def test_streaming_wrapper(spark):
     out_dir, stream_dir, ckpt = f"{base}/out", f"{base}/in", f"{base}/ckpt"
     try:
         run_pipeline(
-            spark, synth_pages(spark, 100, seed=42), out_dir, pages_fingerprint="s0"
+            spark, synth_pages(spark, 100, seed=42), out_dir, pages_fingerprint="s0",
+            source_expr=synth_source_expr
         )
         n0 = spark.read.parquet(f"{out_dir}/pa_statements").count()
         # drop a new batch of pages into the stream dir
         synth_pages(spark, 160, seed=42).where("url > 'https://ex9'").write.parquet(
             f"{stream_dir}/batch1"
         )
-        q = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt)
+        q = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt,
+                                        source_expr=synth_source_expr)
         q.awaitTermination(120)
         n1 = spark.read.parquet(f"{out_dir}/pa_statements").count()
         assert n1 >= n0
         # restart with no new files → no-op
-        q2 = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt)
+        q2 = incremental_assembly_stream(spark, f"{stream_dir}/*", out_dir, ckpt,
+                                         source_expr=synth_source_expr)
         q2.awaitTermination(120)
         assert spark.read.parquet(f"{out_dir}/pa_statements").count() == n1
     finally:

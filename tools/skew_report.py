@@ -42,14 +42,15 @@ def main() -> None:
     from indra_db_spark.operators.grounding import ground_statements
     from indra_db_spark.session import get_spark
     from indra_db_spark.sources import dims
-    from indra_db_spark.sources.synth import synth_pages
+    from indra_db_spark.sources.synth import source_expr as synth_source_expr, synth_pages
 
     spark = get_spark(app_name="skew_report", master="local[8]")
     raw_dir = f"/dev/shm/skew_raw_{n_pages}" if os.path.isdir("/dev/shm") else f"/tmp/skew_raw_{n_pages}"
     if not os.path.exists(os.path.join(raw_dir, "_SUCCESS")):
         pages = synth_pages(spark, n_pages, seed=42)
         ground_statements(
-            extract_statements(pages), dims.grounding_map_df(spark)
+            extract_statements(pages), dims.grounding_map_df(spark),
+            source_expr=synth_source_expr,
         ).write.mode("overwrite").parquet(raw_dir)
     raw = spark.read.parquet(raw_dir)
     n_raw = raw.count()
