@@ -427,19 +427,21 @@ def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: MinHash-LSH candidate pairs on documents."""
+    """MinHash-LSH candidate pairs (md5 hash family — DuckDB-mirrorable;
+    production uses the xxhash64 family, same banding)."""
     from indra_db_spark.operators.dedup_docs import minhash_lsh_candidates
 
     d = _load(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d).orderBy("doc_a", "doc_b")
+    return minhash_lsh_candidates(d, hash_fn="md5").orderBy("doc_a", "doc_b")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 16-bit SimHash signatures on documents."""
+    """16-bit SimHash signatures (md5 hash family — DuckDB-mirrorable;
+    production default is 64-bit xxhash64, identical aggregation shape)."""
     from indra_db_spark.operators.dedup_docs import simhash
 
     d = _load(spark, sf_dir, "documents")
-    return simhash(d).orderBy("doc_id")
+    return simhash(d, bits=16, hash_fn="md5").orderBy("doc_id")
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,12 +502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_topk": _q_embeddings_topk,
         "embedding_norms": _q_embedding_norms,
         "langid_confusion": _q_langid,
-        # rows-only (non-SQL-expressible)
-        "kg_pipeline_interactions": _q_kg_pipeline,
-        "kg_component_sizes": _q_kg_components,
         "docs_minhash_lsh": _q_minhash_lsh,
         "docs_simhash": _q_simhash,
         "embeddings_lsh_ann": _q_lsh_ann,
+        # rows-only (non-SQL-expressible: iterative pipeline/CC/k-means,
+        # stubbed codec)
+        "kg_pipeline_interactions": _q_kg_pipeline,
+        "kg_component_sizes": _q_kg_components,
         "embeddings_ivf_ann": _q_ivf_ann,
         "multimodal_features": _q_multimodal,
     }
@@ -738,7 +741,104 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY label ORDER BY label
         """,
         "langid_confusion": _langid_oracle_sql(),
+        "docs_simhash": _simhash_oracle_sql(bits=16),
+        "docs_minhash_lsh": _minhash_oracle_sql(num_hashes=16, bands=4),
+        "embeddings_lsh_ann": _lsh_ann_oracle_sql(k=3, dim=64, n_planes=6),
     }
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    """DuckDB twin of operators/dedup_docs.simhash(hash_fn='md5').
+
+    Token hash = md5 fold; bits come off the UNSIGNED value (HUGEINT) with
+    logical shifts — identical low bits to Spark's arithmetic shiftright
+    on the signed fold (verified bit-for-bit in the build session)."""
+    uth = _U64.format(x="token")
+    csums = ", ".join(
+        f"sum(((uth >> {b}) & 1)::BIGINT) AS c{b}" for b in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_TEXT}, ' ')) AS token
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, {uth} AS uth FROM toks WHERE token <> ''
+        ),
+        c AS (SELECT doc_id, count(*) AS n, {csums} FROM th GROUP BY doc_id)
+        SELECT doc_id, ({terms})::BIGINT AS simhash FROM c ORDER BY doc_id
+    """
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of minhash_lsh_candidates(hash_fn='md5')."""
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        "min(" + _FOLD64.format(x=f"('{i}|' || shingle)") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+        )
+        + " AS bsig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+        banded AS ({band_rows})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_bands_shared
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _lsh_ann_oracle_sql(k: int = 3, dim: int = 64, n_planes: int = 6) -> str:
+    """DuckDB twin of similarity.lsh_topk — the hyperplanes are
+    deterministic md5-derived literals, so the bucket assignment is plain
+    SQL (list_dot_product sign bits)."""
+    from indra_db_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, ({sig_terms})::BIGINT AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+              FROM sigs WHERE vec_id < 5),
+        sims AS (
+            SELECT q.query_id, s.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qv::DOUBLE[],
+                                                s.embedding::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM q JOIN sigs s USING (bucket)
+            WHERE s.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM sims
+        )
+        WHERE rnk <= {k}
+        ORDER BY query_id, rnk
+    """
 
 
 def _langid_oracle_sql() -> str:

@@ -51,13 +51,69 @@ def fold_md5_64_py(s: str) -> int:
 # matches_key construction (indra.statements.Statement.matches_key analog)
 
 
-def agent_key_expr(agent: Column) -> Column:
-    """Canonical agent key: ``db_ns:db_id`` (grounded) — the agent struct
-    carries a ``TEXT`` fallback namespace for ungrounded mentions, so the
-    expression is uniform. NULL agent → NULL key."""
-    return F.when(
-        agent.isNotNull(), F.concat_ws(":", agent["db_ns"], agent["db_id"])
+def agent_muts_key_expr(muts: Column) -> Column:
+    """Sorted ``;mut=<from>:<pos>:<to>`` entries, '' if none — the
+    MutCondition part of Agent.matches_key (indra sorts mutation
+    conditions so listing order never splits hashes)."""
+    entries = F.transform(
+        muts,
+        lambda m: F.concat(
+            F.lit(";mut="),
+            F.coalesce(m["residue_from"], F.lit("")),
+            F.lit(":"),
+            F.coalesce(m["position"], F.lit("")),
+            F.lit(":"),
+            F.coalesce(m["residue_to"], F.lit("")),
+        ),
     )
+    return F.when(muts.isNull() | (F.size(muts) == 0), F.lit("")).otherwise(
+        F.concat_ws("", F.array_sort(entries))
+    )
+
+
+def agent_activity_key_expr(activity: Column) -> Column:
+    """``;act=<type>:<true|false>`` or '' — the ActivityCondition part."""
+    return F.when(activity.isNull(), F.lit("")).otherwise(
+        F.concat(
+            F.lit(";act="),
+            F.coalesce(activity["activity_type"], F.lit("")),
+            F.lit(":"),
+            activity["is_active"].cast("string"),
+        )
+    )
+
+
+def agent_key_expr(agent: Column) -> Column:
+    """Canonical agent key: ``db_ns:db_id[;mut=…][;act=…]`` — the agent
+    struct carries a ``TEXT`` fallback namespace for ungrounded mentions,
+    so the expression is uniform; mutation/activity conditions are folded
+    in so statements differing only by a condition get distinct keys
+    (Agent.matches_key semantics incl. MutCondition/ActivityCondition).
+    Condition-free agents produce the bare ``db_ns:db_id`` — existing
+    hashes are unchanged. NULL agent → NULL key.
+    """
+    muts_part = agent_muts_key_expr(agent["muts"])
+    act_part = agent_activity_key_expr(agent["activity"])
+    return F.when(
+        agent.isNotNull(),
+        F.concat(
+            F.concat_ws(":", agent["db_ns"], agent["db_id"]), muts_part, act_part
+        ),
+    )
+
+
+def agent_key_py(
+    entity_key: str,
+    muts: list[tuple[str, str, str]] | None = None,
+    activity: tuple[str, bool] | None = None,
+) -> str:
+    """Python twin of :func:`agent_key_expr`; ``muts`` entries are
+    (residue_from, position, residue_to)."""
+    mk = "".join(sorted(f";mut={f}:{p}:{t}" for (f, p, t) in (muts or [])))
+    ak = (
+        f";act={activity[0]}:{str(activity[1]).lower()}" if activity else ""
+    )
+    return f"{entity_key}{mk}{ak}"
 
 
 def mods_key_expr(mods: Column) -> Column:

@@ -73,7 +73,11 @@ def build_pa_statements(raw: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
     subj = rep["subj"]
     obj = rep["obj"]
     pa_agent = lambda a: F.struct(  # drop mention text — canonical agents
-        a["db_ns"].alias("db_ns"), a["db_id"].alias("db_id"), a["name"].alias("name")
+        a["db_ns"].alias("db_ns"),
+        a["db_id"].alias("db_id"),
+        a["name"].alias("name"),
+        a["muts"].alias("muts"),
+        a["activity"].alias("activity"),
     )
     agent_key = lambda a: F.concat_ws(":", a["db_ns"], a["db_id"])
     return (

@@ -103,16 +103,25 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — deterministic seeded hash
     family h_i(s) = xxhash64(i, s) (JVM-native, codegen'd — the md5 fold
     costs ~10× more and MinHash needs no md5 compatibility); one explode,
-    then a single groupBy computing all k mins (no k-fold data blowup)."""
+    then a single groupBy computing all k mins (no k-fold data blowup).
+
+    ``hash_fn='md5'`` switches to h_i(s) = fold_md5_64(i || '|' || s) —
+    slower, but exactly mirrorable in other engines (the DuckDB oracle)."""
     sh = word_shingles(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        h = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))
+    elif hash_fn == "md5":
+        h = lambda i: fold_md5_64(
+            F.concat_ws("|", F.lit(str(i)), F.col("shingle"))
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -126,11 +135,12 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
     of the minhash signature. Returns (doc_a, doc_b, n_bands_shared)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -150,30 +160,60 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(doc_id, simhash) — bitwise majority vote over token hashes.
 
-    One explode to (doc, token), one explode to (doc, bit), two aggs.
-    ``bits`` kept small by default to bound the row blowup; 64 at scale."""
+    Scale shape: ONE explode to (doc, token), then ONE groupBy computing
+    all ``bits`` per-bit ones-counts as conditional sums in a single hash
+    aggregate (map-side combinable) — no ×bits row blowup (the naive
+    formulation explodes (doc, token) rows ×bits, a 64× blowup of the
+    token table at production width). Bit b of the signature is set iff
+    the majority of token hashes have bit b set (strict majority — ties
+    clear the bit, matching the ±1-vote formulation's v>0).
+
+    ``hash_fn``: 'xxhash64' (JVM-native, the fast path) or 'md5'
+    (fold_md5_64 — ~10× slower but mirrorable in other engines for
+    cross-checking; the DuckDB oracle uses this).
+    """
+    import functools
+    import operator
+
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(_norm_text(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
-    hashed = tokens.withColumn("th", F.xxhash64("token"))
-    bit_votes = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "th",
-    ).withColumn(
-        # python F.shiftright requires a literal shift — SQL accepts exprs
-        "vote",
-        F.when(F.expr("(shiftright(th, cast(bit as int)) & 1) = 1"), 1).otherwise(-1),
+    if hash_fn == "xxhash64":
+        th = F.xxhash64("token")
+    elif hash_fn == "md5":
+        th = fold_md5_64(F.col("token"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    hashed = tokens.withColumn("th", th)
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"cast(shiftright(th, {b}) & 1 as long)")).alias(f"c{b}")
+            for b in range(bits)
+        ],
     )
-    votes = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(bit as int))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    terms = [
+        F.when(
+            F.lit(2) * F.col(f"c{b}") > F.col("n"), F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    return counts.select(
+        "doc_id", functools.reduce(operator.add, terms).alias("simhash")
     )
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two 64-bit signature columns (bit_count of
+    xor) — the SimHash near-dup predicate at query time."""
+    return F.bit_count(a.bitwiseXOR(b))

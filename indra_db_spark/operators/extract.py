@@ -48,6 +48,13 @@ _EXTRACTED = T.StructType(
         T.StructField("obj_text", T.StringType()),
         T.StructField("residue", T.StringType()),
         T.StructField("position", T.StringType()),
+        # subject-agent conditions (indra.statements.MutCondition /
+        # ActivityCondition analogs; grammar: "<F><pos><T> mutant <A> …",
+        # "active|inactive <A> …")
+        T.StructField("subj_mut_from", T.StringType()),
+        T.StructField("subj_mut_pos", T.StringType()),
+        T.StructField("subj_mut_to", T.StringType()),
+        T.StructField("subj_act", T.StringType()),
         T.StructField("sent_idx", T.IntegerType()),
         T.StructField("start", T.IntegerType()),
         T.StructField("end", T.IntegerType()),
@@ -71,9 +78,12 @@ _MENTION_COLS = T.StructType(
 
 def _pattern(lexicon: list[str]) -> re.Pattern:
     # Longest-first alternation so multi-char names win at shared prefixes.
+    # Optional subject qualifiers: "<FROM><POS><TO> mutant" (MutCondition)
+    # and "active|inactive" (ActivityCondition), in that order.
     ents = "|".join(re.escape(e) for e in sorted(lexicon, key=len, reverse=True))
     trig = "|".join(LX.TRIGGERS)
     return re.compile(
+        rf"(?:\b([A-Z])(\d+)([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?"
         rf"\b({ents})\s+({trig})\s+({ents})(?:\s+on\s+([A-Z])(\d+))?"
     )
 
@@ -137,11 +147,15 @@ def extract_statements(
                                 url,
                                 EXTRACTOR_NAME,
                                 extractor_version,
-                                LX.TRIGGERS[m.group(2)],
-                                m.group(1),
-                                m.group(3),
-                                m.group(4),
-                                m.group(5),
+                                LX.TRIGGERS[m.group(6)],
+                                m.group(5),   # subj
+                                m.group(7),   # obj
+                                m.group(8),   # residue
+                                m.group(9),   # position
+                                m.group(1),   # subj_mut_from
+                                m.group(2),   # subj_mut_pos
+                                m.group(3),   # subj_mut_to
+                                m.group(4),   # subj_act
                                 sent_idx,
                                 m.start(),
                                 m.end(),

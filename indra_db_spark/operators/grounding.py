@@ -55,6 +55,39 @@ def resolve_grounding_map(grounding_map: DataFrame) -> DataFrame:
     )
 
 
+_MUTS_DDL = "array<struct<position:string,residue_from:string,residue_to:string>>"
+_ACT_DDL = "struct<activity_type:string,is_active:boolean>"
+
+
+def _agent_conditions(side: str):
+    """(muts, activity) condition columns for one agent side.
+
+    The grammar emits subject-side qualifiers only (flat subj_mut_* /
+    subj_act columns from extract.py); other sides get empty/null
+    conditions. Analog of principal_schema.py::RawMuts / PaActivity rows.
+    """
+    if side != "subj":
+        return F.array().cast(_MUTS_DDL), F.lit(None).cast(_ACT_DDL)
+    muts = F.when(
+        F.col("subj_mut_pos").isNotNull(),
+        F.array(
+            F.struct(
+                F.col("subj_mut_pos").alias("position"),
+                F.col("subj_mut_from").alias("residue_from"),
+                F.col("subj_mut_to").alias("residue_to"),
+            )
+        ),
+    ).otherwise(F.array().cast(_MUTS_DDL))
+    act = F.when(
+        F.col("subj_act").isNotNull(),
+        F.struct(
+            F.lit("activity").alias("activity_type"),
+            (F.col("subj_act") == "active").alias("is_active"),
+        ),
+    ).otherwise(F.lit(None).cast(_ACT_DDL))
+    return muts, act
+
+
 def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
     norm = normalize_text_expr(F.col(f"{side}_text")).alias(f"_{side}_norm")
     df = df.withColumn(f"_{side}_norm", norm)
@@ -65,11 +98,14 @@ def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
         F.col("name").alias(f"_{side}_name"),
     )
     df = df.join(F.broadcast(g), f"_{side}_norm", "left")
+    muts, act = _agent_conditions(side)
     agent = F.struct(
         F.col(f"{side}_text").alias("text"),
         F.coalesce(F.col(f"_{side}_ns"), F.lit("TEXT")).alias("db_ns"),
         F.coalesce(F.col(f"_{side}_id"), F.col(f"_{side}_norm")).alias("db_id"),
         F.coalesce(F.col(f"_{side}_name"), F.col(f"{side}_text")).alias("name"),
+        muts.alias("muts"),
+        act.alias("activity"),
     )
     return df.withColumn(side, agent).drop(
         f"_{side}_norm", f"_{side}_ns", f"_{side}_id", f"_{side}_name"

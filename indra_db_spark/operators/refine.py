@@ -23,8 +23,34 @@ closure depth (shallow for real bio ontologies at the family level).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from indra_db_spark.functions.hashing import (
+    agent_activity_key_expr,
+    agent_muts_key_expr,
+)
+
+
+def _cond_key(agent: Column) -> Column:
+    """Canonical condition suffix of one agent (muts + activity)."""
+    return F.concat(
+        agent_muts_key_expr(agent["muts"]),
+        agent_activity_key_expr(agent["activity"]),
+    )
+
+
+def _cond_refines(general: Column, specific: Column) -> Column:
+    """Agent-condition refinement residual (Agent.refinement_of analog):
+    the general agent's mutations ⊆ the specific's, and its activity is
+    unset or equal."""
+    muts_ok = F.forall(
+        general["muts"], lambda m: F.array_contains(specific["muts"], m)
+    )
+    act_ok = general["activity"].isNull() | (
+        general["activity"] == specific["activity"]
+    )
+    return muts_ok & act_ok
 
 
 def _pair_keys(df: DataFrame) -> DataFrame:
@@ -104,6 +130,8 @@ def build_pa_link_restricted(
         F.col("k1").alias("g_k1"),
         F.col("k2").alias("g_k2"),
         F.col("mods").alias("g_mods"),
+        F.col("subj").alias("g_subj"),
+        F.col("obj").alias("g_obj"),
     )
 
     joined = spec_side.join(
@@ -118,9 +146,27 @@ def build_pa_link_restricted(
     mods_subset = F.forall(
         F.col("g_mods"), lambda m: F.array_contains(F.col("mods"), m)
     )
+    # Agent mutation/activity conditions: positional refinement for
+    # directional types (Agent.refinement_of — general's muts ⊆ specific's,
+    # activity unset-or-equal). Complex members are matched by sorted
+    # entity key, which can misalign condition comparison when both
+    # members generalize — conservative rule: the condition-suffix
+    # multiset must be identical (condition-free Complexes, the common
+    # case, are unaffected; indra.statements.Complex.refinement_of does
+    # full member matching).
+    cplx_conds_eq = F.array_sort(
+        F.array(_cond_key(F.col("subj")), _cond_key(F.col("obj")))
+    ) == F.array_sort(
+        F.array(_cond_key(F.col("g_subj")), _cond_key(F.col("g_obj")))
+    )
+    cond_ok = F.when(F.col("type") == "Complex", cplx_conds_eq).otherwise(
+        _cond_refines(F.col("g_subj"), F.col("subj"))
+        & _cond_refines(F.col("g_obj"), F.col("obj"))
+    )
     return (
         joined.where(F.col("mk_hash") != F.col("supported_mk_hash"))
         .where(mods_subset)
+        .where(cond_ok)
         .select(
             "supported_mk_hash",
             F.col("mk_hash").alias("supporting_mk_hash"),

@@ -101,10 +101,33 @@ class Query:
         sort_by: str = "ev_count",
         limit: int | None = None,
         offset: int | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
-        """Hydrated statements (+ evidences array, ev_limit-truncated)."""
+        """Hydrated statements (+ evidences array, ev_limit-truncated).
+
+        Scale shape: evidence is **semi-joined down to the selected hash
+        set before** the ev_limit window + collect_list — hydrating 25
+        statements must never shuffle the full evidence table
+        (reference: [P] client/readonly/query.py::Query.get_statements
+        fetches evidence per returned hash).
+
+        Pagination: ``after=(last_sort_value, last_mk_hash)`` is keyset
+        pagination — a pure pushed-down filter, the scalable path. Page N
+        is fetched by passing the last row of page N-1. ``offset`` is kept
+        for API parity but runs a global row_number window (single task
+        over the matching set) — small result sets only.
+        """
         stmts = ctx.pa_statements.join(self.hashes(ctx), "mk_hash", "left_semi")
-        if offset:
+        if after is not None:
+            last_sort, last_hash = after
+            stmts = stmts.where(
+                (F.col(sort_by) < F.lit(last_sort))
+                | (
+                    (F.col(sort_by) == F.lit(last_sort))
+                    & (F.col("mk_hash") > F.lit(last_hash))
+                )
+            )
+        elif offset:
             w = Window.orderBy(F.desc(sort_by), F.asc("mk_hash"))
             stmts = (
                 stmts.withColumn("_rn", F.row_number().over(w))
@@ -114,7 +137,15 @@ class Query:
         stmts = stmts.orderBy(F.desc(sort_by), F.asc("mk_hash"))
         if limit is not None:
             stmts = stmts.limit(limit)
-        ev = ctx.evidence
+
+        # Hydrate evidence ONLY for the selected statements. With a limit
+        # the selection is ≤ limit rows → broadcast the hash set; otherwise
+        # semi-join on the query's hash set (still never the full corpus).
+        if limit is not None:
+            sel = F.broadcast(stmts.select("mk_hash"))
+        else:
+            sel = stmts.select("mk_hash")
+        ev = ctx.evidence.join(sel, "mk_hash", "left_semi")
         if ev_limit is not None:
             w = Window.partitionBy("mk_hash").orderBy("raw_id")
             ev = ev.withColumn("_rn", F.row_number().over(w)).where(

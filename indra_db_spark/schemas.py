@@ -25,13 +25,37 @@ PAGES = T.StructType(
     ]
 )
 
+# MutCondition analog (indra.statements.MutCondition — position,
+# residue_from, residue_to; principal_schema.py::RawMuts/PaMuts carry the
+# same triple). Lives on the AGENT, like the reference.
+MUT = T.StructType(
+    [
+        T.StructField("position", T.StringType(), True),
+        T.StructField("residue_from", T.StringType(), True),
+        T.StructField("residue_to", T.StringType(), True),
+    ]
+)
+
+# ActivityCondition analog (indra.statements.ActivityCondition;
+# principal_schema.py::PaActivity stores (activity, is_active)).
+ACTIVITY = T.StructType(
+    [
+        T.StructField("activity_type", T.StringType(), True),
+        T.StructField("is_active", T.BooleanType(), True),
+    ]
+)
+
 # Agent struct pre-grounding (mention text only) and post-grounding.
+# Mutation/activity conditions ride on the agent and feed matches_key —
+# two statements differing only by a mutation must get distinct mk_hash.
 RAW_AGENT = T.StructType(
     [
         T.StructField("text", T.StringType(), True),
         T.StructField("db_ns", T.StringType(), True),
         T.StructField("db_id", T.StringType(), True),
         T.StructField("name", T.StringType(), True),
+        T.StructField("muts", T.ArrayType(MUT), True),
+        T.StructField("activity", ACTIVITY, True),
     ]
 )
 
@@ -40,6 +64,8 @@ PA_AGENT = T.StructType(
         T.StructField("db_ns", T.StringType(), True),
         T.StructField("db_id", T.StringType(), True),
         T.StructField("name", T.StringType(), True),
+        T.StructField("muts", T.ArrayType(MUT), True),
+        T.StructField("activity", ACTIVITY, True),
     ]
 )
 

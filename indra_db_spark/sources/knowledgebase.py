@@ -48,11 +48,17 @@ def load_knowledgebase(
         else spark.createDataFrame(triples, KB_TRIPLE)
     )
     source = f"kb_{name}"
+    no_muts = F.array().cast(
+        "array<struct<position:string,residue_from:string,residue_to:string>>"
+    )
+    no_act = F.lit(None).cast("struct<activity_type:string,is_active:boolean>")
     agent = lambda p: F.struct(
         F.col(f"{p}_name").alias("text"),
         F.col(f"{p}_ns").alias("db_ns"),
         F.col(f"{p}_id").alias("db_id"),
         F.coalesce(F.col(f"{p}_name"), F.col(f"{p}_id")).alias("name"),
+        no_muts.alias("muts"),
+        no_act.alias("activity"),
     )
     empty_mods = F.array().cast(
         "array<struct<mod_type:string,residue:string,position:string,is_modified:boolean>>"

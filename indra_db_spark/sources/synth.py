@@ -26,6 +26,11 @@ _M = (1 << 64) - 1
 LANGS = ["en", "fr", "es", "zh", "de"]
 _RESIDUES = ["S", "T", "Y"]
 _POSITIONS = ["15", "308", "473", "705", "999"]
+# Subject-agent qualifiers (MutCondition / ActivityCondition analogs):
+# "<F><pos><T> mutant <A> …" and "active|inactive <A> …".
+_MUT_FROM = ["G", "R", "E"]
+_MUT_POS = ["12", "175", "273"]
+_MUT_TO = ["D", "H", "K"]
 _TRIGGER_LIST = list(LX.TRIGGERS)  # insertion order, deterministic
 _CRAWL_WINDOW_S = 30 * 86400  # warc_ts cycles over a 30-day crawl window
 
@@ -60,7 +65,7 @@ def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
             if _h(seed, i, j, 2) % 2 == 0:
                 sentences.append(
                     {"subj": subj, "trigger": "activates", "obj": "MDM2GEN",
-                     "residue": None, "position": None}
+                     "residue": None, "position": None, "mut": None, "act": None}
                 )
                 continue
         else:
@@ -73,9 +78,23 @@ def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
         if trigger == "phosphorylates" and _h(seed, i, j, 6) % 2 == 0:
             residue = _RESIDUES[_h(seed, i, j, 7) % 3]
             position = _POSITIONS[_h(seed, i, j, 8) % 5]
+        # Subject qualifiers on directional triggers only (Complex member
+        # alignment is conservative in refinement — keep Complexes bare):
+        mut = act = None
+        if trigger != "binds":
+            q = _h(seed, i, j, 10) % 7
+            if q == 0:
+                mut = (
+                    _MUT_FROM[_h(seed, i, j, 11) % 3],
+                    _MUT_POS[_h(seed, i, j, 12) % 3],
+                    _MUT_TO[_h(seed, i, j, 13) % 3],
+                )
+            elif q == 1:
+                act = "active" if _h(seed, i, j, 14) % 2 == 0 else "inactive"
         sentences.append(
             {"subj": subj, "trigger": trigger, "obj": obj,
-             "residue": residue, "position": position}
+             "residue": residue, "position": position,
+             "mut": mut, "act": act}
         )
     return {
         "url": f"https://ex{src}.org/doc/{i:06d}",
@@ -105,7 +124,13 @@ def source_expr(url_col=None):
 
 def _sentence_text(s: dict) -> str:
     mod = f" on {s['residue']}{s['position']}" if s["residue"] else ""
-    return f"{s['subj']} {s['trigger']} {s['obj']}{mod}."
+    prefix = ""
+    if s.get("mut"):
+        f_, p_, t_ = s["mut"]
+        prefix = f"{f_}{p_}{t_} mutant "
+    elif s.get("act"):
+        prefix = f"{s['act']} "
+    return f"{prefix}{s['subj']} {s['trigger']} {s['obj']}{mod}."
 
 
 def render_page(spec: dict, seed: int = 42) -> dict:
@@ -177,6 +202,8 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
     ground = LX.resolved_grounding()
     from indra_db_spark.functions.textnorm import normalize_text_py
 
+    from indra_db_spark.functions.hashing import agent_key_py
+
     out = []
     for i in range(n):
         spec = page_spec(i, seed)
@@ -197,15 +224,25 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
                 if s["residue"]
                 else []
             )
-            mk = matches_key_py(stype, key(s["subj"]), key(s["obj"]), mods)
+            muts = [s["mut"]] if s.get("mut") else None
+            activity = (
+                ("activity", s["act"] == "active") if s.get("act") else None
+            )
+            subj_key = agent_key_py(key(s["subj"]), muts, activity)
+            obj_key = key(s["obj"])
+            mk = matches_key_py(stype, subj_key, obj_key, mods)
             out.append(
                 {
                     "url": spec["url"],
                     "sent_idx": j,
                     "source": src,
                     "type": stype,
-                    "subj_key": key(s["subj"]),
-                    "obj_key": key(s["obj"]),
+                    "subj_key": subj_key,
+                    "obj_key": obj_key,
+                    "subj_entity_key": key(s["subj"]),
+                    "obj_entity_key": obj_key,
+                    "muts": muts or [],
+                    "activity": activity,
                     "mods": mods,
                     "matches_key": mk,
                     "evidence_text": _sentence_text(s),

@@ -72,12 +72,64 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_simhash_identical_and_near(spark, docs):
-    s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
     assert s[1] == s[2] == s[6]
     # near-dup differs in few bits
     ham = bin(s[1] ^ s[3]).count("1")
     assert ham <= 6
     assert all(0 <= v < (1 << 16) for v in s.values())
+    # default width is production 64-bit; signatures stay consistent
+    s64 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s64[1] == s64[2] == s64[6]
+    assert bin((s64[1] ^ s64[3]) & ((1 << 64) - 1)).count("1") <= 20
+
+
+def test_simhash_equals_bit_explode_formulation(spark, docs):
+    """The one-aggregate conditional-sum implementation is exactly the
+    naive (doc, token)×bits vote-explode formulation (which blows rows up
+    64x at production width — kept here only as the property oracle)."""
+    bits = 16
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    hashed = tokens.withColumn("th", F.xxhash64("token"))
+    bit_votes = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(th, cast(bit as int)) & 1) = 1"), 1).otherwise(-1),
+    )
+    votes = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    naive = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    want = {r["doc_id"]: r["simhash"] for r in naive.collect()}
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=bits).collect()}
+    assert got == want
+
+
+def test_simhash_md5_variant_and_hamming(spark, docs):
+    from indra_db_spark.operators.dedup_docs import hamming_distance
+
+    s = simhash(docs, bits=16, hash_fn="md5")
+    vals = {r["doc_id"]: r["simhash"] for r in s.collect()}
+    assert vals[1] == vals[2] == vals[6]
+    a = s.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = s.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        "da", "db", hamming_distance(F.col("sa"), F.col("sb")).alias("ham")
+    )
+    h = {(r["da"], r["db"]): r["ham"] for r in pairs.collect()}
+    assert h[(1, 2)] == 0 and h[(1, 6)] == 0
+    assert h[(1, 3)] <= 6 < h[(1, 4)]
 
 
 def test_shingles_short_doc(spark, docs):

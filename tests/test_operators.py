@@ -131,13 +131,13 @@ def test_hub_key_exists(raw_small):
 
 
 # --------------------------------------------------------------- refinement
-def _pa_row(mk, typ, s_ns, s_id, o_ns, o_id, mods=None):
+def _pa_row(mk, typ, s_ns, s_id, o_ns, o_id, mods=None, s_muts=None, s_act=None):
     return (
         mk,
         f"{typ}({s_ns}:{s_id}, {o_ns}:{o_id})",
         typ,
-        (s_ns, s_id, s_id),
-        (o_ns, o_id, o_id),
+        (s_ns, s_id, s_id, s_muts or [], s_act),
+        (o_ns, o_id, o_id, [], None),
         mods or [],
         1,
         {"src0": 1},
@@ -247,7 +247,18 @@ def test_export_sif(spark, tmp_path, raw_small):
     export_sif(pa, out)
     back = spark.read.option("sep", "\t").option("header", "true").csv(out)
     assert back.columns == ["subj_key", "type", "obj_key", "total_ev"]
-    assert back.count() == pa.select("subj", "type", "obj").distinct().count()
+    # SIF is an ENTITY-grain network dump: condition variants (muts/activity)
+    # of the same pair collapse into one interaction row
+    n_entity_grain = (
+        pa.select(
+            F.concat_ws(":", "subj.db_ns", "subj.db_id").alias("sk"),
+            "type",
+            F.concat_ws(":", "obj.db_ns", "obj.db_id").alias("ok"),
+        )
+        .distinct()
+        .count()
+    )
+    assert back.count() == n_entity_grain
     top = back.first()
     assert top["subj_key"] == "HGNC:11998"  # hub triple leads
 
@@ -356,3 +367,57 @@ def test_belief_default_prior_for_unknown_and_kb_sources(spark):
     assert math.isclose(b[2], 1 - (0.05 + 0.3) * (KB_P_SYST + KB_P_RAND))
     assert math.isclose(b[3], 1 - (DEFAULT_P_SYST + DEFAULT_P_RAND))
     assert b[1] > 0.9  # database evidence is near-certain
+
+
+def test_mutation_activity_distinct_hashes(spark):
+    """matches_key folds agent conditions: bare / mutant / active variants
+    of the same triple get three distinct mk_hash; the bare one matches the
+    Python twin exactly (backward-compatible hashes)."""
+    from indra_db_spark.functions.hashing import fold_md5_64_py, matches_key_py
+
+    texts = [
+        "KRASGEN activates TP53GEN.",
+        "G12D mutant KRASGEN activates TP53GEN.",
+        "active KRASGEN activates TP53GEN.",
+        "inactive KRASGEN activates TP53GEN.",
+    ]
+    rows = {}
+    for t in texts:
+        (r,) = _ground(spark, t)
+        rows[t] = r
+    hashes = [rows[t]["mk_hash"] for t in texts]
+    assert len(set(hashes)) == 4
+    bare = rows[texts[0]]
+    assert bare["mk_hash"] == fold_md5_64_py(
+        matches_key_py("Activation", "HGNC:10003", "HGNC:11998")
+    )
+    mut = rows[texts[1]]
+    assert mut["subj"]["muts"] == [("12", "G", "D")]
+    assert mut["matches_key"] == (
+        "Activation(HGNC:10003;mut=G:12:D, HGNC:11998)"
+    )
+    act = rows[texts[2]]
+    assert act["subj"]["activity"] == ("activity", True)
+    assert ";act=activity:true" in act["matches_key"]
+
+
+def test_refinement_mutant_supports_bare(spark):
+    """A mutation-bearing statement is MORE specific: it supports the bare
+    statement, never the reverse (Agent.refinement_of semantics)."""
+    rows = [
+        _pa_row(1, "Activation", "HGNC", "1", "HGNC", "2",
+                s_muts=[("12", "G", "D")]),
+        _pa_row(2, "Activation", "HGNC", "1", "HGNC", "2"),
+        _pa_row(3, "Activation", "HGNC", "1", "HGNC", "2",
+                s_act=("activity", True)),
+        _pa_row(4, "Activation", "HGNC", "1", "HGNC", "2",
+                s_act=("activity", False)),
+    ]
+    pa = spark.createDataFrame(rows, schemas.PA_STATEMENTS)
+    links = {
+        (r["supported_mk_hash"], r["supporting_mk_hash"])
+        for r in build_pa_link(pa, dims.isa_closure_df(spark)).collect()
+    }
+    # bare (2) is supported by all condition-bearing variants; active and
+    # inactive are incompatible with each other
+    assert links == {(2, 1), (2, 3), (2, 4)}

@@ -60,7 +60,12 @@ def test_triple_precision_recall(golden, expected):
         )
         .collect()
     }
-    want = {_triple(e["subj_key"], e["type"], e["obj_key"]) for e in expected}
+    # triples are compared at the ENTITY grain (conditions live in the
+    # matches_key / mk_hash tests below)
+    want = {
+        _triple(e["subj_entity_key"], e["type"], e["obj_entity_key"])
+        for e in expected
+    }
     tp = len(got & want)
     precision = tp / len(got) if got else 0.0
     recall = tp / len(want) if want else 0.0
@@ -128,3 +133,28 @@ def test_schemas_match_registry(golden):
     assert [f.name for f in ev.schema.fields] == [
         f.name for f in schemas.EVIDENCE.fields
     ]
+
+
+def test_mutation_and_activity_split_hashes(golden, expected):
+    """Two statements differing only by a subject mutation/activity must
+    land on DISTINCT mk_hash (PaMuts/PaActivity + matches_key analog)."""
+    qualified = [e for e in expected if e["muts"] or e["activity"]]
+    assert qualified, "twin corpus should contain qualified statements"
+    from indra_db_spark.functions.hashing import matches_key_py
+
+    # for every qualified statement, the bare-entity variant of the same
+    # triple hashes DIFFERENTLY — conditions split mk_hash
+    for e in qualified:
+        bare_mk = matches_key_py(
+            e["type"], e["subj_entity_key"], e["obj_entity_key"], e["mods"]
+        )
+        assert fold_md5_64_py(bare_mk) != fold_md5_64_py(e["matches_key"])
+    # the pipeline reproduced every qualified hash (via
+    # test_mk_hashes_match_reference_twin); here assert subject structs
+    # carry the conditions through dedup
+    pa = golden.tables["pa_statements"]
+    n_mut = pa.where(F.size("subj.muts") > 0).count()
+    n_act = pa.where(F.col("subj.activity").isNotNull()).count()
+    assert n_mut > 0 and n_act > 0
+    # activity never leaks onto objects in this grammar
+    assert pa.where(F.col("obj.activity").isNotNull()).count() == 0

@@ -196,3 +196,56 @@ def test_result_modes(ctx):
         (F.col("subj_key") == "HGNC:11998") & (F.col("obj_key") == "HGNC:10001")
     ).first()
     assert row is not None and "Activation" in row["types"]
+
+
+def test_keyset_pagination_equals_offset(ctx):
+    """Keyset (after=...) pages reproduce exactly the offset pages, and
+    full iteration via keyset yields the complete ordered result."""
+    q = EmptyQuery()
+    full = q.get_statements(ctx).orderBy(
+        F.desc("ev_count"), F.asc("mk_hash")
+    ).collect()
+    # page through with keyset
+    pages, after = [], None
+    while True:
+        page = q.get_statements(ctx, limit=7, after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        last = page[-1]
+        after = (last["ev_count"], last["mk_hash"])
+    assert [(r["mk_hash"]) for r in pages] == [(r["mk_hash"]) for r in full]
+    # and keyset page 2 == offset page 2
+    off2 = q.get_statements(ctx, limit=7, offset=7).collect()
+    p1 = q.get_statements(ctx, limit=7).collect()
+    key2 = q.get_statements(
+        ctx, limit=7, after=(p1[-1]["ev_count"], p1[-1]["mk_hash"])
+    ).collect()
+    assert [r["mk_hash"] for r in key2] == [r["mk_hash"] for r in off2]
+
+
+def test_get_statements_hydration_is_selection_scoped(ctx):
+    """The evidence aggregate must run AFTER a semi-join on the selected
+    hashes — hydrating a limited page must not aggregate the full evidence
+    table (scale guard: 10^9 evidence rows / 25 statements)."""
+    q = HasType(["Activation"])
+    df = q.get_statements(ctx, ev_limit=2, limit=5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the evidence side carries its own LeftSemi (statement side has one
+    # too) — at least two semi joins in the optimized plan
+    assert plan.count("LeftSemi") >= 2, plan
+    # results identical to the unscoped reference formulation
+    ref_ev = ctx.evidence.join(df.select("mk_hash"), "mk_hash", "left_semi")
+    got = {
+        (r["mk_hash"], tuple(e["raw_id"] for e in sorted(r["evidences"], key=lambda e: e["raw_id"])[:2]))
+        for r in df.collect()
+    }
+    # recompute expected evidences per selected hash from the raw table
+    import collections
+    ev_by_hash = collections.defaultdict(list)
+    for r in ref_ev.collect():
+        ev_by_hash[r["mk_hash"]].append(r["raw_id"])
+    want = {
+        (mk, tuple(sorted(v)[:2])) for mk, v in ev_by_hash.items()
+    }
+    assert got == want
