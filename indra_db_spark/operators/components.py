@@ -54,21 +54,49 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 def connected_components(
     edges: DataFrame, src: str = "supported_mk_hash", dst: str = "supporting_mk_hash",
     max_iter: int = 20,
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ (mk_hash, component_id) for every node appearing in ``edges``;
-    component_id = min node id in the component."""
-    e = (
+    component_id = min node id in the component.
+
+    ``checkpoint``: ``'local'`` (executor-local blocks — fast, but lost on
+    executor death; fine for single-JVM and short jobs) or ``'reliable'``
+    (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint()`` against
+    the cluster FS — the production setting for multi-hour CC over large
+    graphs, survives executor loss at the cost of one write per round).
+    ``stats`` (optional dict) is filled with {'rounds', 'edges_in'}.
+    """
+    if checkpoint == "reliable":
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs checkpoint_dir (cluster FS path)"
+            )
+        ckpt = lambda df: df.checkpoint()
+    elif checkpoint == "local":
+        ckpt = lambda df: df.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
+    e = ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     sig = _signature(e)
+    if stats is not None:
+        stats["edges_in"] = sig[0]
+        stats["rounds"] = 0
     if sig[0] == 0:  # no edges — skip the iteration machinery entirely
         return e.select(F.col("u").alias("mk_hash"), F.col("v").alias("component_id"))
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+    for i in range(max_iter):
+        e = ckpt(_small_star(_large_star(e)))
         new_sig = _signature(e)
+        if stats is not None:
+            stats["rounds"] = i + 1
         if new_sig == sig:
             break
         sig = new_sig

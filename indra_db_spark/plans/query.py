@@ -65,6 +65,7 @@ class QueryContext:
     evidence: DataFrame
     name_meta: DataFrame | None = None
     page_topics: DataFrame | None = None  # (url, topic_id) — MeSH analog
+    curations: DataFrame | None = None  # Curation-table analog
 
     def agents(self) -> DataFrame:
         if self.name_meta is not None:
@@ -348,6 +349,50 @@ class FromTopics(Query):
             ctx.evidence.join(F.broadcast(urls), "url", "left_semi")
             .select("mk_hash")
             .distinct()
+        )
+
+
+@dataclass
+class HasCuration(Query):
+    """Statements with ≥1 curation matching every given filter —
+    principal curation lookup joined to the hash grain
+    ([P] client/principal/curation.py::get_curations)."""
+
+    tags: list[str] | None = None
+    curators: list[str] | None = None
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        if ctx.curations is None:
+            raise ValueError("QueryContext.curations not provided")
+        cur = ctx.curations
+        if self.tags is not None:
+            cur = cur.where(F.col("tag").isin(self.tags))
+        if self.curators is not None:
+            cur = cur.where(F.col("curator").isin(self.curators))
+        curated = cur.select(F.col("pa_hash").alias("mk_hash")).distinct()
+        # curations are tiny vs the corpus — broadcast the semi-join side
+        return ctx.pa_statements.join(
+            F.broadcast(curated), "mk_hash", "left_semi"
+        ).select("mk_hash")
+
+
+@dataclass
+class NotFlaggedIncorrect(Query):
+    """Exclude statements flagged curated-incorrect (≥1 incorrect-family
+    curation, no correct one) — the readonly serving filter."""
+
+    def hashes(self, ctx: QueryContext) -> DataFrame:
+        if ctx.curations is None:
+            return EmptyQuery().hashes(ctx)
+        from indra_db_spark.operators.curation import curation_flags
+
+        flagged = (
+            curation_flags(ctx.curations)
+            .where(F.col("is_flagged"))
+            .select("mk_hash")
+        )
+        return ctx.pa_statements.select("mk_hash").join(
+            F.broadcast(flagged), "mk_hash", "left_anti"
         )
 
 

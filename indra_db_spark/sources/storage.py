@@ -105,6 +105,33 @@ def write_table(
     return manifest
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    buckets: int = 16,
+    bucket_col: str = "mk_hash",
+    sort_col: str | None = "mk_hash",
+    path: str | None = None,
+) -> None:
+    """Materialize a catalog table bucketed on ``bucket_col`` —
+    the Iceberg ``bucket(N, mk_hash)`` partition-transform analog this
+    sandbox can actually execute (no Iceberg jar; Spark's native bucketing
+    carries the same co-location contract through the session catalog).
+
+    Joins/aggregations between tables bucketed the same way on the same
+    key need NO exchange: the hash-keyed stages of the pipeline
+    (refine pa×pa, belief pa×link, evidence hydration ev×pa) read
+    pre-clustered buckets instead of shuffling the corpus
+    (asserted exchange-free in tests/test_bucketing.py).
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def append_lazy(
     df: DataFrame, path: str, key_cols: list[str], partition_by: list[str] | None = None
 ) -> dict:

