@@ -81,7 +81,7 @@ def _pattern(lexicon: list[str]) -> re.Pattern:
     # Optional subject qualifiers: "<FROM><POS><TO> mutant" (MutCondition)
     # and "active|inactive" (ActivityCondition), in that order.
     ents = "|".join(re.escape(e) for e in sorted(lexicon, key=len, reverse=True))
-    trig = "|".join(LX.TRIGGERS)
+    trig = "|".join(sorted(LX.TRIGGERS, key=len, reverse=True))
     return re.compile(
         rf"(?:\b([A-Z])(\d+)([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?"
         rf"\b({ents})\s+({trig})\s+({ents})(?:\s+on\s+([A-Z])(\d+))?"

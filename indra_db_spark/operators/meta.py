@@ -92,7 +92,7 @@ def build_topic_ref_counts(page_topics: DataFrame, evidence: DataFrame) -> DataF
             F.countDistinct("mk_hash").alias("stmt_count"),
         )
         .withColumn(
-            "topic_num", F.regexp_extract("topic_id", r"T(\d+)", 1).cast("int")
+            "topic_num", F.regexp_extract("topic_id", r"[TC](\d+)", 1).cast("int")
         )
     )
 

@@ -33,11 +33,22 @@ from indra_db_spark.operators.meta import KB_PREFIX
 # Statement-type hierarchy (indra.statements class tree, the subset this
 # engine emits). HasType(include_subclasses=True) expands via this closure.
 TYPE_PARENTS = {
-    "Phosphorylation": "Modification",
+    "Phosphorylation": "AddModification",
+    "Ubiquitination": "AddModification",
+    "Acetylation": "AddModification",
+    "Methylation": "AddModification",
+    "Dephosphorylation": "RemoveModification",
+    "AddModification": "Modification",
+    "RemoveModification": "Modification",
     "Activation": "RegulateActivity",
     "Inhibition": "RegulateActivity",
+    "IncreaseAmount": "RegulateAmount",
+    "DecreaseAmount": "RegulateAmount",
+    "Gef": "Statement",
+    "Gap": "Statement",
     "Modification": "Statement",
     "RegulateActivity": "Statement",
+    "RegulateAmount": "Statement",
     "Complex": "Statement",
 }
 
@@ -64,7 +75,8 @@ class QueryContext:
     pa_statements: DataFrame
     evidence: DataFrame
     name_meta: DataFrame | None = None
-    page_topics: DataFrame | None = None  # (url, topic_id) — MeSH analog
+    page_topics: DataFrame | None = None  # (url, topic_id) — MeSH-term analog
+    page_concepts: DataFrame | None = None  # (url, topic_id) — MeSH-concept analog
     curations: DataFrame | None = None  # Curation-table analog
 
     def agents(self) -> DataFrame:
@@ -148,7 +160,14 @@ class Query:
             sel = stmts.select("mk_hash")
         ev = ctx.evidence.join(sel, "mk_hash", "left_semi")
         if ev_limit is not None:
-            w = Window.partitionBy("mk_hash").orderBy("raw_id")
+            # best-evidence-first truncation ([P] query.py::Query
+            # .get_statements returns richest evidence first): longer
+            # evidence text ranks higher (the fulltext>abstract>title
+            # analog in the pages model), raw_id breaks ties
+            # deterministically.
+            w = Window.partitionBy("mk_hash").orderBy(
+                F.desc(F.length("evidence_text")), F.asc("raw_id")
+            )
             ev = ev.withColumn("_rn", F.row_number().over(w)).where(
                 F.col("_rn") <= ev_limit
             ).drop("_rn")
@@ -332,19 +351,35 @@ class FromPapers(Query):
 @dataclass
 class FromTopics(Query):
     """Statements with evidence from pages annotated with any given topic —
-    the FromMeshIds analog (query.py::FromMeshIds → mesh_term_meta);
-    topics live in ctx.page_topics (url, topic_id)."""
+    the FromMeshIds analog. Like the reference, ids dispatch by prefix to
+    the term vs concept annotation table (query.py::FromMeshIds routes
+    D-ids → mesh_term_meta and C-ids → mesh_concept_meta): ``T…`` ids hit
+    ctx.page_topics, ``C…`` ids hit ctx.page_concepts."""
 
     topic_ids: list[str] = field(default_factory=list)
 
     def hashes(self, ctx: QueryContext) -> DataFrame:
-        if ctx.page_topics is None:
-            raise ValueError("QueryContext.page_topics not provided")
-        urls = (
-            ctx.page_topics.where(F.col("topic_id").isin(self.topic_ids))
-            .select("url")
-            .distinct()
-        )
+        term_ids = [t for t in self.topic_ids if not t.startswith("C")]
+        concept_ids = [t for t in self.topic_ids if t.startswith("C")]
+        url_sets = []
+        if term_ids:
+            if ctx.page_topics is None:
+                raise ValueError("QueryContext.page_topics not provided")
+            url_sets.append(
+                ctx.page_topics.where(F.col("topic_id").isin(term_ids))
+            )
+        if concept_ids:
+            if ctx.page_concepts is None:
+                raise ValueError("QueryContext.page_concepts not provided")
+            url_sets.append(
+                ctx.page_concepts.where(F.col("topic_id").isin(concept_ids))
+            )
+        if not url_sets:
+            return ctx.pa_statements.select("mk_hash").limit(0)
+        urls = url_sets[0]
+        for u in url_sets[1:]:
+            urls = urls.unionByName(u)
+        urls = urls.select("url").distinct()
         return (
             ctx.evidence.join(F.broadcast(urls), "url", "left_semi")
             .select("mk_hash")

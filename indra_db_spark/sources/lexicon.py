@@ -58,11 +58,26 @@ GENE_FAMILY = {
     "NFKB1GEN": "NFKBFAM",
 }
 
+# Trigger word → statement type. Mirrors the breadth of indra.statements'
+# concrete classes this grammar can emit: RegulateActivity
+# (Activation/Inhibition), Complex, Add/RemoveModification
+# (Phosphorylation/Dephosphorylation/Ubiquitination/Acetylation/
+# Methylation), RegulateAmount (IncreaseAmount/DecreaseAmount), and the
+# GTPase regulators Gef/Gap. The type hierarchy for
+# HasType(include_subclasses) lives in plans/query.py::TYPE_PARENTS.
 TRIGGERS = {
     "activates": "Activation",
     "inhibits": "Inhibition",
     "binds": "Complex",
     "phosphorylates": "Phosphorylation",
+    "dephosphorylates": "Dephosphorylation",
+    "ubiquitinates": "Ubiquitination",
+    "acetylates": "Acetylation",
+    "methylates": "Methylation",
+    "increases": "IncreaseAmount",
+    "decreases": "DecreaseAmount",
+    "exchanges": "Gef",
+    "hydrolyzes": "Gap",
 }
 
 N_SOURCES = 20

@@ -252,8 +252,9 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
 
 
 def topic_rows(n: int, seed: int = 42) -> list[tuple[str, str]]:
-    """(url, topic_id) — MeSH-annotation analog: 1–3 deterministic topics
-    per page (reference: mesh_term_meta rows keyed by pmid)."""
+    """(url, topic_id) — MeSH **term** annotation analog: 1–3 deterministic
+    T-prefixed topics per page (reference: mesh_term_meta rows keyed by
+    pmid; MeSH D-ids)."""
     out = []
     for i in range(n):
         spec = page_spec(i, seed)
@@ -263,5 +264,22 @@ def topic_rows(n: int, seed: int = 42) -> list[tuple[str, str]]:
     return sorted(set(out))
 
 
+def concept_rows(n: int, seed: int = 42) -> list[tuple[str, str]]:
+    """(url, topic_id) — MeSH **concept** annotation analog: 0–2
+    C-prefixed concepts per page (reference: mesh_concept_meta; MeSH
+    C-ids live in a separate readonly table from D-ids)."""
+    out = []
+    for i in range(n):
+        spec = page_spec(i, seed)
+        k = _h(seed, i, 98, 0) % 3
+        for j in range(k):
+            out.append((spec["url"], f"C{_h(seed, i, 98, j + 1) % 30:03d}"))
+    return sorted(set(out))
+
+
 def page_topics(spark, n: int, seed: int = 42):
     return spark.createDataFrame(topic_rows(n, seed), "url string, topic_id string")
+
+
+def page_concepts(spark, n: int, seed: int = 42):
+    return spark.createDataFrame(concept_rows(n, seed), "url string, topic_id string")

@@ -166,11 +166,21 @@ def supplement_corpus(
         .localCheckpoint()
     )
 
-    # 7. writes: evidence append-only (new distilled rows), pa overwrite.
-    new_evidence = dedup_op.build_evidence(
-        distilled.join(old_raw.select("raw_id"), "raw_id", "left_anti")
+    # 7. writes. Evidence is REWRITTEN for affected hashes (kept rows ∪
+    # the re-distilled affected rows): a version-bumped re-read supersedes
+    # the url's old readings, so their evidence rows must leave the table
+    # or ev_count and the hydrated evidence arrays diverge from a full
+    # rebuild. raw_statements stays append-only (the immutable log —
+    # distill interprets versions on read). At deployment scale this
+    # rewrite is an Iceberg MERGE/delete-files on the affected hash set,
+    # not a table rewrite; the parquet shim overwrites.
+    old_ev = storage.read_table(spark, path("evidence"))
+    merged_evidence = (
+        old_ev.join(affected, "mk_hash", "left_anti")
+        .unionByName(dedup_op.build_evidence(distilled))
+        .localCheckpoint()  # plan reads the files the write replaces
     )
-    storage.write_table(new_evidence, path("evidence"), None, mode="append")
+    storage.write_table(merged_evidence, path("evidence"), None)
     storage.write_table(
         new_raw.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd")),
         path("raw_statements"),

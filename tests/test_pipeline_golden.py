@@ -158,3 +158,16 @@ def test_mutation_and_activity_split_hashes(golden, expected):
     assert n_mut > 0 and n_act > 0
     # activity never leaks onto objects in this grammar
     assert pa.where(F.col("obj.activity").isNotNull()).count() == 0
+
+
+def test_statement_type_breadth(golden, expected):
+    """The grammar emits the full indra.statements subset — at least 10 of
+    the 12 concrete types appear in a 200-page corpus, and the pipeline's
+    emitted type set equals the twin's exactly."""
+    got = {
+        r["type"]
+        for r in golden.tables["pa_statements"].select("type").distinct().collect()
+    }
+    want = {e["type"] for e in expected}
+    assert got == want
+    assert len(got) >= 10

@@ -81,9 +81,23 @@ def test_has_type_and_closure(ctx):
     regs = _hashes(HasType(["RegulateActivity"], include_subclasses=True), ctx)
     inhs = _hashes(HasType(["Inhibition"]), ctx)
     assert acts | inhs == regs
-    assert set(type_closure(["Modification"])) == {"Modification", "Phosphorylation"}
+    assert set(type_closure(["Modification"])) == {
+        "Modification", "AddModification", "RemoveModification",
+        "Phosphorylation", "Dephosphorylation", "Ubiquitination",
+        "Acetylation", "Methylation",
+    }
+    assert set(type_closure(["RemoveModification"])) == {
+        "RemoveModification", "Dephosphorylation",
+    }
+    assert set(type_closure(["RegulateAmount"])) == {
+        "RegulateAmount", "IncreaseAmount", "DecreaseAmount",
+    }
     everything = set(type_closure(["Statement"]))
-    assert {"Activation", "Inhibition", "Complex", "Phosphorylation"} <= everything
+    assert {
+        "Activation", "Inhibition", "Complex", "Phosphorylation",
+        "Dephosphorylation", "Ubiquitination", "Acetylation", "Methylation",
+        "IncreaseAmount", "DecreaseAmount", "Gef", "Gap",
+    } <= everything
 
 
 def test_set_ops(ctx):
@@ -152,13 +166,20 @@ def test_offset_pagination(ctx):
 def test_from_topics_and_ref_counts(spark, ctx):
     from indra_db_spark.operators.meta import build_topic_ref_counts
     from indra_db_spark.plans.query import FromTopics
-    from indra_db_spark.sources.synth import page_topics, topic_rows
+    from indra_db_spark.sources.synth import (
+        concept_rows,
+        page_concepts,
+        page_topics,
+        topic_rows,
+    )
 
     topics = page_topics(spark, 300, seed=42)
+    concepts = page_concepts(spark, 300, seed=42)
     ctx2 = QueryContext(
         pa_statements=ctx.pa_statements,
         evidence=ctx.evidence,
         page_topics=topics,
+        page_concepts=concepts,
     )
     some_topic = topics.first()["topic_id"]
     got = _hashes(FromTopics([some_topic]), ctx2)
@@ -168,6 +189,24 @@ def test_from_topics_and_ref_counts(spark, ctx):
         for r in ctx.evidence.where(F.col("url").isin(list(urls))).collect()
     }
     assert got == want and got
+
+    # concept axis: C-prefixed ids dispatch to page_concepts (the
+    # MeshTermMeta vs MeshConceptMeta split)
+    some_concept = concepts.first()["topic_id"]
+    got_c = _hashes(FromTopics([some_concept]), ctx2)
+    c_urls = {u for (u, c) in concept_rows(300) if c == some_concept}
+    want_c = {
+        r["mk_hash"]
+        for r in ctx.evidence.where(F.col("url").isin(list(c_urls))).collect()
+    }
+    assert got_c == want_c and got_c
+    # mixed term+concept id list = union of both axes
+    both = _hashes(FromTopics([some_topic, some_concept]), ctx2)
+    assert both == got | got_c
+    # concept ref counts reuse the same rollup (topic_num strips C too)
+    crc = build_topic_ref_counts(concepts, ctx.evidence)
+    crow = crc.where(F.col("topic_id") == some_concept).first()
+    assert crow["topic_num"] == int(some_concept[1:])
 
     rc = build_topic_ref_counts(topics, ctx.evidence)
     row = rc.where(F.col("topic_id") == some_topic).first()
@@ -237,15 +276,39 @@ def test_get_statements_hydration_is_selection_scoped(ctx):
     # results identical to the unscoped reference formulation
     ref_ev = ctx.evidence.join(df.select("mk_hash"), "mk_hash", "left_semi")
     got = {
-        (r["mk_hash"], tuple(e["raw_id"] for e in sorted(r["evidences"], key=lambda e: e["raw_id"])[:2]))
+        (r["mk_hash"], frozenset(e["raw_id"] for e in r["evidences"]))
         for r in df.collect()
     }
     # recompute expected evidences per selected hash from the raw table
+    # (best-first: longest evidence_text, raw_id tiebreak)
     import collections
     ev_by_hash = collections.defaultdict(list)
     for r in ref_ev.collect():
-        ev_by_hash[r["mk_hash"]].append(r["raw_id"])
+        ev_by_hash[r["mk_hash"]].append(
+            (-len(r["evidence_text"] or ""), r["raw_id"])
+        )
     want = {
-        (mk, tuple(sorted(v)[:2])) for mk, v in ev_by_hash.items()
+        (mk, frozenset(rid for _, rid in sorted(v)[:2]))
+        for mk, v in ev_by_hash.items()
     }
     assert got == want
+
+
+def test_ev_limit_keeps_best_evidence_first(ctx):
+    """ev_limit truncation keeps the richest (longest-text) evidence."""
+    q = HasNumEvidence(3)
+    res = q.get_statements(ctx, ev_limit=2).collect()
+    assert res
+    full = {
+        r["mk_hash"]: sorted(
+            ((e["raw_id"], len(e["evidence_text"] or "")) for e in r["evidences"]),
+        )
+        for r in q.get_statements(ctx).collect()
+    }
+    for r in res:
+        assert len(r["evidences"]) <= 2
+        kept = {e["raw_id"] for e in r["evidences"]}
+        ranked = sorted(
+            full[r["mk_hash"]], key=lambda t: (-t[1], t[0])
+        )[: len(kept)]
+        assert kept == {rid for rid, _ in ranked}

@@ -106,3 +106,75 @@ def test_streaming_wrapper(spark):
         assert spark.read.parquet(f"{out_dir}/pa_statements").count() == n1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_version_bump_supersedes_evidence(spark):
+    """A supplement batch re-reading urls at a HIGHER extractor version
+    supersedes the old readings: pa_statements AND evidence match a full
+    rebuild over the mixed-version raw log (the append-only evidence bug:
+    stale rows from superseded readings must not survive)."""
+    from indra_db_spark.operators.dedup import (
+        build_evidence,
+        build_pa_statements,
+    )
+    from indra_db_spark.operators.distill import distill
+    from indra_db_spark.operators.extract import extract_statements
+    from indra_db_spark.operators.grounding import ground_statements
+    from indra_db_spark.sources import dims
+
+    base = tempfile.mkdtemp(prefix="kg_vb_")
+    try:
+        pages = synth_pages(spark, 80, seed=42)
+        run_pipeline(spark, pages, base, pages_fingerprint="vb_old",
+                     source_expr=synth_source_expr)
+        doc_idx = F.regexp_extract("url", r"doc/(\d+)", 1).cast("long")
+        reread = pages.where(doc_idx >= 40)  # re-read half at a new version
+        tables = supplement_corpus(
+            spark, base, reread, extractor_version="3.0",
+            source_expr=synth_source_expr,
+        )
+
+        # expected: mixed-version raw log -> distill -> pa/evidence
+        gm = dims.grounding_map_df(spark)
+        raw_all = ground_statements(
+            extract_statements(pages, "2.0"), gm, source_expr=synth_source_expr
+        ).unionByName(
+            ground_statements(
+                extract_statements(reread, "3.0"), gm,
+                source_expr=synth_source_expr,
+            )
+        )
+        distilled = distill(raw_all)
+        want_pa = sorted(
+            (r["mk_hash"], r["ev_count"])
+            for r in build_pa_statements(distilled).collect()
+        )
+        got_pa = sorted(
+            (r["mk_hash"], r["ev_count"])
+            for r in tables["pa_statements"].collect()
+        )
+        assert got_pa == want_pa
+        want_ev = sorted(
+            (r["mk_hash"], r["raw_id"])
+            for r in build_evidence(distilled).collect()
+        )
+        got_ev = sorted(
+            (r["mk_hash"], r["raw_id"])
+            for r in tables["evidence"].select("mk_hash", "raw_id").collect()
+        )
+        assert got_ev == want_ev
+        # no superseded v2.0 evidence survives on re-read urls
+        stale = (
+            tables["evidence"]
+            .join(reread.select("url"), "url", "left_semi")
+            .join(
+                tables["raw_statements"].where(
+                    F.col("extractor_version") == "2.0"
+                ).select("raw_id"),
+                "raw_id",
+                "left_semi",
+            )
+        )
+        assert stale.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
