@@ -53,11 +53,13 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.size(F.split(F.col("shingle"), " ")) == k)  # short docs: drop partials
-        .distinct()
-    )
+    # array_distinct BEFORE the explode already makes (doc_id, shingle)
+    # unique — a global .distinct() here would be a redundant full shuffle
+    # of the widest intermediate in the whole dedup family.
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    ).where(F.size(F.split(F.col("shingle"), " ")) == k)  # short docs: drop partials
 
 
 def jaccard_pairs(
@@ -71,13 +73,21 @@ def jaccard_pairs(
 
     shingle self-join (a.doc_id < b.doc_id) → |A∩B| per pair; |A|,|B| from a
     per-doc size agg (broadcastable at dim scale; shuffled join at corpus
-    scale — AQE decides)."""
-    sh = word_shingles(df, id_col, text_col, k)
+    scale — AQE decides).
+
+    The self-join keys on xxhash64(shingle), not the string — the shuffle
+    ships 8-byte longs instead of ~20-byte+ strings. Distinct shingles
+    within a doc stay distinct under the hash except with probability
+    ~n²/2⁻⁶⁴ (immaterial; the LSH variant is the at-scale path anyway).
+    """
+    sh = word_shingles(df, id_col, text_col, k).select(
+        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -114,7 +124,10 @@ def minhash_signatures(
     slower, but exactly mirrorable in other engines (the DuckDB oracle)."""
     sh = word_shingles(df, id_col, text_col, k)
     if hash_fn == "xxhash64":
-        h = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))
+        # hash the shingle STRING once, then derive the k family members
+        # from the 8-byte value — k× cheaper than re-hashing the string
+        sh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
+        h = lambda i: F.xxhash64(F.lit(i), F.col("_sh_h"))
     elif hash_fn == "md5":
         h = lambda i: fold_md5_64(
             F.concat_ws("|", F.lit(str(i)), F.col("shingle"))

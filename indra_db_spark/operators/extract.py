@@ -78,14 +78,22 @@ _MENTION_COLS = T.StructType(
 
 def _pattern(lexicon: list[str]) -> re.Pattern:
     # Longest-first alternation so multi-char names win at shared prefixes.
-    # Optional subject qualifiers: "<FROM><POS><TO> mutant" (MutCondition)
-    # and "active|inactive" (ActivityCondition), in that order.
+    # The core pattern starts at the subject entity — keeping a literal
+    # alternation at position 0 preserves the regex engine's fast scan
+    # (leading optional groups would force per-character backtracking and
+    # ~halve extraction throughput, measured).
     ents = "|".join(re.escape(e) for e in sorted(lexicon, key=len, reverse=True))
     trig = "|".join(sorted(LX.TRIGGERS, key=len, reverse=True))
     return re.compile(
-        rf"(?:\b([A-Z])(\d+)([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?"
         rf"\b({ents})\s+({trig})\s+({ents})(?:\s+on\s+([A-Z])(\d+))?"
     )
+
+
+# Subject qualifiers — "<FROM><POS><TO> mutant" (MutCondition) and
+# "active|inactive" (ActivityCondition) — matched by an $-anchored
+# LOOKBACK at the text immediately before the core match (always
+# succeeds; groups are None when no qualifier precedes).
+_QUAL = re.compile(r"(?:\b([A-Z])(\d+)([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?$")
 
 
 def _resolve_text(pdf: pd.DataFrame) -> pd.Series:
@@ -138,7 +146,8 @@ def extract_statements(
                 seen: set[tuple] = set()
                 for sent_idx, sent in enumerate(_SENT_SPLIT.split(t.replace("\n", " "))):
                     for m in pat.finditer(sent):
-                        key = (m.group(0), sent)
+                        q = _QUAL.search(sent, 0, m.start())
+                        key = (q.group(0), m.group(0), sent)
                         if key in seen:
                             continue
                         seen.add(key)
@@ -147,15 +156,15 @@ def extract_statements(
                                 url,
                                 EXTRACTOR_NAME,
                                 extractor_version,
-                                LX.TRIGGERS[m.group(6)],
-                                m.group(5),   # subj
-                                m.group(7),   # obj
-                                m.group(8),   # residue
-                                m.group(9),   # position
-                                m.group(1),   # subj_mut_from
-                                m.group(2),   # subj_mut_pos
-                                m.group(3),   # subj_mut_to
-                                m.group(4),   # subj_act
+                                LX.TRIGGERS[m.group(2)],
+                                m.group(1),   # subj
+                                m.group(3),   # obj
+                                m.group(4),   # residue
+                                m.group(5),   # position
+                                q.group(1),   # subj_mut_from
+                                q.group(2),   # subj_mut_pos
+                                q.group(3),   # subj_mut_to
+                                q.group(4),   # subj_act
                                 sent_idx,
                                 m.start(),
                                 m.end(),
