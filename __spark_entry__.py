@@ -376,6 +376,32 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embeddings_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: EXACT embedding-cosine near-dup pairs (the oracle
+    variant; lsh_near_dup_pairs is the at-scale path). Threshold 0.45 is
+    demo-scale — the driver corpus has no true near-dups; production uses
+    ~0.95."""
+    from indra_db_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.45).orderBy("vec_a", "vec_b")
+
+
+def _q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish regex token counts per doc."""
+    from indra_db_spark.operators.textops import (
+        bpe_ish_token_count,
+        ws_token_count,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 # --- pipeline-specific (rows-only where SQL can't express) -----------------
 
 
@@ -505,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": _q_minhash_lsh,
         "docs_simhash": _q_simhash,
         "embeddings_lsh_ann": _q_lsh_ann,
+        "embeddings_near_dup": _q_embeddings_near_dup,
+        "docs_token_counts": _q_docs_token_counts,
         # rows-only (non-SQL-expressible: iterative pipeline/CC/k-means,
         # stubbed codec)
         "kg_pipeline_interactions": _q_kg_pipeline,
@@ -741,6 +769,26 @@ def oracle_sql() -> dict[str, str]:
             FROM base GROUP BY label ORDER BY label
         """,
         "langid_confusion": _langid_oracle_sql(),
+        "embeddings_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.45
+            ORDER BY vec_a, vec_b
+        """,
+        "docs_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
         "docs_simhash": _simhash_oracle_sql(bits=16),
         "docs_minhash_lsh": _minhash_oracle_sql(num_hashes=16, bands=4),
         "embeddings_lsh_ann": _lsh_ann_oracle_sql(k=3, dim=64, n_planes=6),

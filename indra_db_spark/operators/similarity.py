@@ -245,3 +245,64 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cos ≥ threshold) — O(n²), the correctness oracle for the LSH variant
+    (same role jaccard_pairs plays for MinHash-LSH)."""
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+                6,
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates = pairs sharing the
+    hyperplane bucket (the n² cross join becomes a bucket equi-join; at
+    cos ≥ 0.95 the angle is ≤ 18°, so collision probability per plane is
+    1-18/180 = 0.9 → with 8 planes ~43% single-table recall, multiply
+    tables to taste), exact-cosine residual keeps precision at 1."""
+    planes = _hyperplanes(dim, n_planes)
+    sig = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "bucket")
+    b = sig.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
+                6,
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -283,3 +283,41 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # reliable checkpoints actually landed on the checkpoint dir
     import glob
     assert glob.glob(str(tmp_path / "ckpt" / "*"))
+
+
+def test_embedding_near_dup_exact_and_lsh(spark):
+    import numpy as np
+
+    from indra_db_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(50, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")   # planted dup
+    vecs[7] = vecs[6] + 0.02 * rng.randn(16).astype("float32")   # planted dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert set(exact) == {(0, 1), (6, 7)}
+    # numpy agreement on the planted pair
+    c = float(
+        vecs[0] @ vecs[1] / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[1]))
+    )
+    assert abs(exact[(0, 1)] - c) < 1e-4
+
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup_pairs(
+            emb, threshold=0.95, dim=16, n_planes=6
+        ).collect()
+    }
+    # LSH candidates are a subset of exact pairs (residual keeps precision)
+    assert lsh <= set(exact)
+    # near-identical vectors share every hyperplane sign -> found
+    assert (0, 1) in lsh
