@@ -311,6 +311,20 @@ def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d).select("doc_id", "fp_hash", "fp_hex").orderBy("doc_id")
 
 
+def _q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: rolling-hash (winnowing) document fingerprints —
+    min k-gram hash per w-window, deduped. md5-fold hash family so DuckDB
+    can mirror it gram-for-gram; production uses hash_fn='xxhash64'."""
+    from indra_db_spark.operators.textops import winnow_fingerprints
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(d, k=8, w=4, hash_fn="md5")
+        .select("doc_id", "n_fps", "min_fp", "max_fp")
+        .orderBy("doc_id")
+    )
+
+
 def _q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup family: word-3-gram Jaccard near-dup pairs (threshold 0.6)."""
     from indra_db_spark.operators.dedup_docs import jaccard_pairs
@@ -533,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_lsh_ann": _q_lsh_ann,
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_token_counts": _q_docs_token_counts,
+        "docs_winnow": _q_docs_winnow,
         # rows-only (non-SQL-expressible: iterative pipeline/CC/k-means,
         # stubbed codec)
         "kg_pipeline_interactions": _q_kg_pipeline,
@@ -788,6 +803,30 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "docs_winnow": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 8 + 1, 0)),
+                       i -> (CASE WHEN (('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT) >= 9223372036854775808::HUGEINT THEN ((('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT ELSE (('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT)::BIGINT END)
+                     ) AS h
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(h) - 4 + 1),
+                         j -> list_aggregate(h[j:j+3], 'min')))
+                     WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+                     ELSE [] END AS fps
+              FROM g
+            )
+            SELECT doc_id, len(fps) AS n_fps,
+                   list_aggregate(fps, 'min') AS min_fp,
+                   list_aggregate(fps, 'max') AS max_fp
+            FROM m ORDER BY doc_id
         """,
         "docs_simhash": _simhash_oracle_sql(bits=16),
         "docs_minhash_lsh": _minhash_oracle_sql(num_hashes=16, bands=4),

@@ -99,3 +99,87 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_hash", fold_md5_64(norm)).withColumn(
         "fp_hex", F.substring(F.md5(norm), 1, 16)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.,
+    MOSS): hash every char k-gram of the normalized text, keep the MIN of
+    each w-window, dedup → the document's fingerprint set. Near-identical
+    documents share most fingerprints even under local edits — the
+    char-level complement to word-shingle MinHash.
+
+    All higher-order column expressions (transform/slice/array_min) — one
+    row per doc in, one out: (doc_id, n_fps, min_fp, max_fp, fps).
+    ``hash_fn='md5'`` = fold_md5_64 per gram (DuckDB-mirrorable oracle
+    family); default xxhash64 is the production path.
+
+    Plan-shape note (the difference between O(n) and O(n²) PER ROW): a
+    lambda body re-evaluates every non-lambda subexpression per element —
+    ``transform(seq, j -> array_min(slice(HASHES_EXPR, j, w)))`` recomputes
+    all n gram hashes for each of the n windows. Each stage is therefore a
+    separate ``select`` so lambdas only reference bound ATTRIBUTES (cheap);
+    CollapseProject keeps multiply-referenced non-cheap aliases
+    unmerged, so the staging survives optimization (verified: the inlined
+    single-projection form took minutes on 500 rows; this one ~1 s).
+
+    NB: ``F.sequence(1, n)`` DESCENDS when n < 1 (step defaults to -1) —
+    short/empty docs must short-circuit to an empty array.
+    """
+    gram_hash = (
+        (lambda g: F.xxhash64(g)) if hash_fn == "xxhash64" else fold_md5_64
+    )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # stage 1: normalize once per row
+    s1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    )
+    # stage 2: gram hashes — lambda references only the _norm attribute
+    norm = F.col("_norm")
+    n_g = F.length(norm) - k + 1
+    s2 = s1.select(
+        "doc_id",
+        F.when(n_g < 1, F.array().cast("array<long>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: gram_hash(F.substr(norm, i, F.lit(k))),
+            )
+        )
+        .alias("_h"),
+    )
+    # stage 3: winnow — per-window slice of the MATERIALIZED hash array
+    h = F.col("_h")
+    n_h = F.size(h)
+    s3 = s2.select(
+        "doc_id",
+        F.when(
+            n_h >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_h - w + 1),
+                    lambda j: F.array_min(F.slice(h, j, w)),
+                )
+            ),
+        )
+        .when(n_h > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("fps"),
+    )
+    return s3.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        "fps",
+    )

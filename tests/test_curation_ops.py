@@ -321,3 +321,68 @@ def test_embedding_near_dup_exact_and_lsh(spark):
     assert lsh <= set(exact)
     # near-identical vectors share every hyperplane sign -> found
     assert (0, 1) in lsh
+
+
+def test_winnow_fingerprints(spark):
+    from indra_db_spark.operators.textops import winnow_fingerprints
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    edited = base.replace("lazy", "calm")  # one local edit
+    other = "completely different content about spark shuffles and parquet"
+    rows = [
+        (1, base),
+        (2, edited),
+        (3, other),
+        (4, base.upper()),  # normalization: case-insensitive → identical fps
+        (5, "tiny"),        # shorter than k → no grams
+        (6, ""),            # empty
+        (7, "exactly9!"),   # len 9, k=8 → 2 grams < w → single-min branch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in winnow_fingerprints(df, k=8, w=4).collect()
+    }
+    fps1, fps2, fps3 = (set(out[i]["fps"]) for i in (1, 2, 3))
+    # winnowing guarantee: a local edit perturbs only nearby windows —
+    # most fingerprints survive; unrelated docs share (almost) none
+    overlap_near = len(fps1 & fps2) / len(fps1 | fps2)
+    overlap_far = len(fps1 & fps3) / len(fps1 | fps3)
+    assert overlap_near > 0.5 > overlap_far
+    assert set(out[4]["fps"]) == fps1  # lowercase-normalized
+    assert out[5]["n_fps"] == 0 and out[5]["fps"] == []
+    assert out[6]["n_fps"] == 0
+    assert out[7]["n_fps"] == 1  # min of the <w gram window
+    # density: ~1 fingerprint per w positions (plus boundary), never more
+    # than the gram count
+    n_grams = len(base) - 8 + 1
+    assert 0 < out[1]["n_fps"] <= n_grams
+    # md5 family agrees with the pure-Python twin on one doc
+    md5_out = {
+        r["doc_id"]: r for r in winnow_fingerprints(df, k=8, w=4, hash_fn="md5").collect()
+    }
+    import hashlib, re
+
+    def py_winnow(text, k=8, w=4):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        hs = []
+        for i in range(max(len(norm) - k + 1, 0)):
+            d = hashlib.md5(norm[i:i + k].encode()).hexdigest()
+            v = int(d[:16], 16)
+            hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+        if not hs:
+            return []
+        if len(hs) < w:
+            return [min(hs)]
+        seen, outl = set(), []
+        for j in range(len(hs) - w + 1):
+            m = min(hs[j:j + w])
+            if m not in seen:
+                seen.add(m)
+                outl.append(m)
+        return outl
+    assert md5_out[1]["fps"] == py_winnow(base)
+    assert md5_out[7]["fps"] == py_winnow("exactly9!")
