@@ -84,8 +84,12 @@ def _pattern(lexicon: list[str]) -> re.Pattern:
     # ~halve extraction throughput, measured).
     ents = "|".join(re.escape(e) for e in sorted(lexicon, key=len, reverse=True))
     trig = "|".join(sorted(LX.TRIGGERS, key=len, reverse=True))
+    # Trailing \b after the object entity and the residue position keep
+    # this consistent with extract_mentions' \b-wrapped entity scan: an
+    # entity that is a strict prefix of a longer corpus token must not
+    # match mid-token (e.g. lexicon "RAS" inside "RASPBERRY").
     return re.compile(
-        rf"\b({ents})\s+({trig})\s+({ents})(?:\s+on\s+([A-Z])(\d+))?"
+        rf"\b({ents})\s+({trig})\s+({ents})\b(?:\s+on\s+([A-Z])(\d+)\b)?"
     )
 
 

@@ -86,13 +86,24 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    n_rows = obs.get["rows"]
+    if mode == "append":
+        # the manifest describes the TABLE, not the batch — accumulate the
+        # prior manifest's count so audits reading row_count stay truthful
+        prior_path = os.path.join(path, "_table_manifest.json")
+        if os.path.exists(prior_path):
+            try:
+                with open(prior_path) as f:
+                    n_rows += json.load(f).get("row_count", 0)
+            except (json.JSONDecodeError, OSError):
+                pass
     manifest = {
         "format": "parquet-shim-v1",
         "schema": df.schema.jsonValue(),
         "partition_by": partition_by or [],
         "committed_at_unix": int(time.time()),
         # row count piggybacks on the write job (Observation) — no re-read
-        "row_count": obs.get["rows"],
+        "row_count": n_rows,
     }
     if compute_signature:
         # full content hash — determinism evidence; skipped in bench jobs

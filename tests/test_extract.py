@@ -91,3 +91,38 @@ def test_mentions(spark):
         "left_anti",
     )
     assert missing.count() == 0
+
+
+def test_object_entity_no_mid_token_match(spark):
+    """ADVICE r2: the statement regex must not truncate mid-token when a
+    lexicon entity is a strict prefix of a longer corpus token — the
+    mention scan is \\b-wrapped, the statement pattern must agree."""
+    from indra_db_spark.operators.extract import extract_statements
+    from indra_db_spark.sources import lexicon as LX
+
+    trig = sorted(LX.TRIGGERS)[0]
+    ent = sorted(LX.LEXICON)[0]
+    other = sorted(LX.LEXICON)[1]
+    rows = [
+        # object is a prefix of a longer token -> NO statement
+        ("https://t.org/1", f"{other} {trig} {ent}berry today.", "en"),
+        # clean object -> statement
+        ("https://t.org/2", f"{other} {trig} {ent} today.", "en"),
+        # residue position glued to a longer number-word -> suffix not parsed
+        ("https://t.org/3", f"{other} {trig} {ent} on S303x.", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string"
+    ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "warc_ts", F.current_timestamp()
+    )
+    got = extract_statements(pages).select("url", "residue", "position").collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    assert "https://t.org/1" not in by_url
+    assert len(by_url["https://t.org/2"]) == 1
+    # page 3 still yields the core statement; the malformed suffix is ignored
+    assert [
+        (r["residue"], r["position"]) for r in by_url["https://t.org/3"]
+    ] == [(None, None)]

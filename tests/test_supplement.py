@@ -178,3 +178,22 @@ def test_version_bump_supersedes_evidence(spark):
         assert stale.count() == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_append_manifest_row_count_accumulates(spark, tmp_path):
+    """ADVICE r2: in append mode the manifest must describe the TABLE
+    (prior + batch rows), not just the appended batch."""
+    import json
+    import os
+
+    from indra_db_spark.sources.storage import read_manifest, write_table
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(7).select(F.col("id").alias("k"))
+    df2 = spark.range(5).select((F.col("id") + 100).alias("k"))
+    write_table(df1, path)
+    assert read_manifest(path)["row_count"] == 7
+    write_table(df2, path, mode="append")
+    m = read_manifest(path)
+    assert m["row_count"] == 12
+    assert spark.read.parquet(path).count() == 12
