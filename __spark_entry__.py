@@ -495,13 +495,37 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF approximate NN (coarse-quantized inverted lists —
-    iterative centroid training, not ANSI-SQL-expressible)."""
-    from indra_db_spark.operators.similarity import ivf_topk
+    """IVF approximate NN with deterministic seed centroids (iters=0):
+    cell assignment, n_probe inverted-list probing and residual ranking
+    are all hash-checked against a DuckDB twin. Lloyd refinement (iters>0,
+    the production default) is iterative — covered by pytest instead
+    (tests/test_curation_ops.py)."""
+    from indra_db_spark.operators.similarity import ivf_topk, train_centroids
 
     e = _load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return ivf_topk(e, q, k=3, n_cells=8, n_probe=2).orderBy("query_id", "rank")
+    cents = train_centroids(e, n_cells=8, iters=0)
+    return ivf_topk(e, q, k=3, n_cells=8, n_probe=2, centroids=cents).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: transitive closure of the n-gram-Jaccard near-dup
+    graph — dedup clusters as connected components (canonical doc =
+    min doc_id in the cluster). Spark side is the iterative
+    large-star/small-star operator (the 100 TB path); the DuckDB twin is
+    a recursive reachability CTE (feasible only at oracle scale)."""
+    from indra_db_spark.operators.components import connected_components
+    from indra_db_spark.operators.dedup_docs import jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=0.6).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("mk_hash").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+    ).orderBy("doc_id")
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,11 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_near_dup": _q_embeddings_near_dup,
         "docs_token_counts": _q_docs_token_counts,
         "docs_winnow": _q_docs_winnow,
-        # rows-only (non-SQL-expressible: iterative pipeline/CC/k-means,
-        # stubbed codec)
+        "docs_dup_clusters": _q_docs_dup_clusters,
+        "embeddings_ivf_ann": _q_ivf_ann,
+        # rows-only (non-SQL-expressible: the full iterative pipeline over
+        # synthesized pages, and the stubbed media codec)
         "kg_pipeline_interactions": _q_kg_pipeline,
         "kg_component_sizes": _q_kg_components,
-        "embeddings_ivf_ann": _q_ivf_ann,
         "multimodal_features": _q_multimodal,
     }
 
@@ -827,6 +852,68 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(fps, 'min') AS min_fp,
                    list_aggregate(fps, 'max') AS max_fp
             FROM m ORDER BY doc_id
+        """,
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM shingles a JOIN shingles b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            ),
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "embeddings_ivf_ann": """
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       embedding::DOUBLE[] AS c
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 8)
+            ),
+            asn AS (
+                SELECT e.vec_id, e.embedding, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -list_dot_product(e.embedding::DOUBLE[], cents.c)
+                                    / sqrt(list_dot_product(cents.c, cents.c)),
+                                    cents.cid
+                       ) AS prb
+                FROM embeddings e CROSS JOIN cents
+            ),
+            corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid AS cell
+                       FROM asn WHERE prb = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+                  FROM asn WHERE vec_id < 5 AND prb <= 2),
+            sims AS (
+                SELECT q.query_id, corpus.neighbor_id,
+                       round(list_cosine_similarity(q.qv::DOUBLE[], corpus.cv::DOUBLE[]), 6)
+                           AS cos_sim
+                FROM q JOIN corpus USING (cell)
+                WHERE corpus.neighbor_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rnk AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                  FROM sims)
+            WHERE rnk <= 3
+            ORDER BY query_id, rnk
         """,
         "docs_simhash": _simhash_oracle_sql(bits=16),
         "docs_minhash_lsh": _minhash_oracle_sql(num_hashes=16, bands=4),

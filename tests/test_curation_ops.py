@@ -386,3 +386,31 @@ def test_winnow_fingerprints(spark):
         return outl
     assert md5_out[1]["fps"] == py_winnow(base)
     assert md5_out[7]["fps"] == py_winnow("exactly9!")
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Dedup clusters = connected components of the near-dup graph: a
+    chain a~b, b~c (a never directly similar to c) still lands all three
+    in one cluster with the min doc_id as canonical."""
+    from indra_db_spark.operators.components import connected_components
+    from indra_db_spark.operators.dedup_docs import jaccard_pairs
+
+    mk = lambda *words: " ".join(words)
+    a = mk(*(f"w{i}" for i in range(20)))
+    b = mk(*(f"w{i}" for i in range(4, 24)))    # overlaps a and c
+    c = mk(*(f"w{i}" for i in range(8, 28)))    # overlaps b, barely a
+    lone = mk(*(f"x{i}" for i in range(20)))
+    df = spark.createDataFrame(
+        [(10, a), (11, b), (12, c), (13, lone)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs
+    cc = connected_components(
+        spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long"),
+        src="doc_a", dst="doc_b",
+    )
+    got = {r["mk_hash"]: r["component_id"] for r in cc.collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
