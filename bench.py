@@ -39,7 +39,12 @@ HEADLINE = [
     "docs_simhash",
     "embeddings_topk",
     "embeddings_lsh_ann",
+    "embeddings_ivf_ann",
+    "embeddings_near_dup",
     "langid_confusion",
+    "docs_token_counts",
+    "docs_winnow",
+    "docs_dup_clusters",
 ]
 
 KG_BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "20000"))
