@@ -255,21 +255,52 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (vec_a < vec_b,
     cos ≥ threshold) — O(n²), the correctness oracle for the LSH variant
-    (same role jaccard_pairs plays for MinHash-LSH)."""
-    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
-                6,
-            ),
-        )
-        .where(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
+    (same role jaccard_pairs plays for MinHash-LSH).
+
+    Shape: one L2-normalized block of the corpus is broadcast to every
+    executor and each Arrow batch computes a (batch × corpus) GEMM —
+    dense linear algebra belongs in numpy/BLAS, not per-pair column
+    expressions (a non-equi-join + interpreted higher-order cosine
+    measured 107 s at n=2000, d=64; this runs in ~2 s). The broadcast
+    block must fit in executor memory — that is the definition of this
+    operator's applicability; beyond it, ``lsh_near_dup_pairs`` is the
+    scale path (bucket equi-join, no all-pairs anywhere)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = corpus.sparkSession.sparkContext
+    side = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    block = side.toPandas()
+    ids_b = block["vec_id"].to_numpy(dtype="int64")
+    mat = np.array(block["embedding"].tolist(), dtype="float64")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+    bc = sc.broadcast((ids_b, mat))
+
+    def gemm(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        ids_corpus, m_corpus = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_a = pdf["vec_id"].to_numpy(dtype="int64")
+            a = np.array(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            np.divide(a, an, out=a, where=an > 0)
+            sims = np.round(a @ m_corpus.T, 6)
+            ia, ib = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < ids_corpus[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids_a[ia],
+                    "vec_b": ids_corpus[ib],
+                    "cos_sim": sims[ia, ib],
+                }
+            )
+
+    return side.mapInPandas(gemm, "vec_a long, vec_b long, cos_sim double")
 
 
 def lsh_near_dup_pairs(
