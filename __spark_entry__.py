@@ -311,6 +311,32 @@ def _q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(d).select("doc_id", "fp_hash", "fp_hex").orderBy("doc_id")
 
 
+def _q_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family breadth over the two otherwise-unused TPC-H-ish dims:
+    fact × part × supplier × nation star (all dims broadcast), pushed
+    date predicate, grouped revenue with a HAVING filter."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    part = _load(spark, sf_dir, "part")
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+        .where(F.col("n_items") > 5)
+        .orderBy("p_brand", "n_name")
+    )
+
+
 def _q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: rolling-hash (winnowing) document fingerprints —
     min k-gram hash per w-window, deduped. md5-fold hash family so DuckDB
@@ -553,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": _q_agg_rollup,
         "cube_metrics": _q_cube_metrics,
         "source_pivot": _q_source_pivot,
+        "part_supplier_revenue": _q_part_supplier_revenue,
         "window_topk": _q_window_topk,
         "window_running": _q_window_running,
         "set_ops": _q_set_ops,
@@ -633,6 +660,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
             ORDER BY r_name, n_name
+        """,
+        "part_supplier_revenue": """
+            SELECT p_brand, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items,
+                   round(avg(p_retailprice), 6) AS avg_retail
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+            GROUP BY p_brand, n_name
+            HAVING count(*) > 5
+            ORDER BY p_brand, n_name
         """,
         "semi_anti_join": """
             SELECT c_custkey, c_name, c_mktsegment

@@ -66,8 +66,10 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes from md5 bytes."""
+def _hyperplanes(dim: int, n_planes: int, salt: str = "") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bytes.
+    ``salt`` derives an independent family per LSH table; the default ""
+    reproduces the original (oracle-pinned) family byte-for-byte."""
     import hashlib
 
     planes = []
@@ -75,7 +77,8 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
         vals: list[float] = []
         ctr = 0
         while len(vals) < dim:
-            h = hashlib.md5(f"plane{p}|{ctr}".encode()).digest()
+            seed = f"plane{salt}:{p}|{ctr}" if salt else f"plane{p}|{ctr}"
+            h = hashlib.md5(seed.encode()).digest()
             for i in range(0, 16, 2):
                 if len(vals) >= dim:
                     break
@@ -310,24 +313,51 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: candidates = pairs sharing the
-    hyperplane bucket (the n² cross join becomes a bucket equi-join; at
-    cos ≥ 0.95 the angle is ≤ 18°, so collision probability per plane is
-    1-18/180 = 0.9 → with 8 planes ~43% single-table recall, multiply
-    tables to taste), exact-cosine residual keeps precision at 1."""
-    planes = _hyperplanes(dim, n_planes)
-    sig = corpus.select(
+    """Scale path for embedding near-dup: candidates = pairs sharing a
+    hyperplane bucket in ANY of ``n_tables`` independent tables (the n²
+    cross join becomes per-table bucket equi-joins; at cos ≥ 0.95 the
+    angle is ≤ 18°, so collision probability per plane is 1-18/180 = 0.9
+    → one 8-plane table recalls ~43%, t tables 1-(1-0.43)^t: 4 tables
+    ≈ 0.90), exact-cosine residual keeps precision at 1.
+
+    Each row is exploded ×n_tables with its per-table bucket; the join
+    key is (table, bucket) so tables never cross-match. Candidate pairs
+    are deduped BEFORE the cosine residual — each pair's vectors are
+    scored once however many tables it collides in."""
+    tagged = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_signature(
+                            F.col(vec_col),
+                            _hyperplanes(dim, n_planes, salt=str(t) if t else ""),
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("_id", "_v", F.col("_tb.t").alias("_t"), F.col("_tb.bucket").alias("bucket"))
+    a = tagged.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "_t", "bucket"
     )
-    a = sig.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "bucket")
-    b = sig.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    b = tagged.select(
+        F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "_t", "bucket"
+    )
+    cands = (
+        a.join(b, ["_t", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
+        .select("vec_a", "vec_b", "_va", "_vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.withColumn(
             "cos_sim",
             F.round(
                 cosine(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),

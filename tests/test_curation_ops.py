@@ -321,6 +321,15 @@ def test_embedding_near_dup_exact_and_lsh(spark):
     assert lsh <= set(exact)
     # near-identical vectors share every hyperplane sign -> found
     assert (0, 1) in lsh
+    # multi-table recall amplification: candidates are a superset of the
+    # single-table set, still precision-1 (subset of exact)
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup_pairs(
+            emb, threshold=0.95, dim=16, n_planes=6, n_tables=4
+        ).collect()
+    }
+    assert lsh <= multi <= set(exact)
 
 
 def test_winnow_fingerprints(spark):
