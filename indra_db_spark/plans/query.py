@@ -46,6 +46,18 @@ TYPE_PARENTS = {
     "DecreaseAmount": "RegulateAmount",
     "Gef": "Statement",
     "Gap": "Statement",
+    "Sumoylation": "AddModification",
+    "Glycosylation": "AddModification",
+    "Ribosylation": "AddModification",
+    "Farnesylation": "AddModification",
+    "Palmitoylation": "AddModification",
+    "Desumoylation": "RemoveModification",
+    "Deacetylation": "RemoveModification",
+    "Demethylation": "RemoveModification",
+    "Deubiquitination": "RemoveModification",
+    "Autophosphorylation": "Phosphorylation",
+    "Transphosphorylation": "Phosphorylation",
+    "Translocation": "Statement",
     "Modification": "Statement",
     "RegulateActivity": "Statement",
     "RegulateAmount": "Statement",

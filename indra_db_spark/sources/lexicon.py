@@ -78,7 +78,32 @@ TRIGGERS = {
     "decreases": "DecreaseAmount",
     "exchanges": "Gef",
     "hydrolyzes": "Gap",
+    # Extended vocabulary (indra.statements breadth): recognized by the
+    # extractor and the DSL type closure. The synthetic grammar emits only
+    # GRAMMAR_TRIGGERS below so golden corpora (and the 24M-page scaling
+    # input) stay byte-stable as this vocabulary grows.
+    "sumoylates": "Sumoylation",
+    "desumoylates": "Desumoylation",
+    "glycosylates": "Glycosylation",
+    "ribosylates": "Ribosylation",
+    "farnesylates": "Farnesylation",
+    "palmitoylates": "Palmitoylation",
+    "deacetylates": "Deacetylation",
+    "demethylates": "Demethylation",
+    "deubiquitinates": "Deubiquitination",
+    "autophosphorylates": "Autophosphorylation",
+    "transphosphorylates": "Transphosphorylation",
+    "translocates": "Translocation",
 }
+
+# The 12 trigger words the synthetic grammar EMITS (pinned; order matters:
+# page_spec indexes this list modulo a counter hash, so appending to
+# TRIGGERS must never remap existing pages).
+GRAMMAR_TRIGGERS = [
+    "activates", "inhibits", "binds", "phosphorylates", "dephosphorylates",
+    "ubiquitinates", "acetylates", "methylates", "increases", "decreases",
+    "exchanges", "hydrolyzes",
+]
 
 N_SOURCES = 20
 P_RAND = 0.3

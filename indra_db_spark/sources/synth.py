@@ -31,7 +31,7 @@ _POSITIONS = ["15", "308", "473", "705", "999"]
 _MUT_FROM = ["G", "R", "E"]
 _MUT_POS = ["12", "175", "273"]
 _MUT_TO = ["D", "H", "K"]
-_TRIGGER_LIST = list(LX.TRIGGERS)  # insertion order, deterministic
+_TRIGGER_LIST = list(LX.GRAMMAR_TRIGGERS)  # pinned 12 — see lexicon.py
 _CRAWL_WINDOW_S = 30 * 86400  # warc_ts cycles over a 30-day crawl window
 
 

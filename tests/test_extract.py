@@ -126,3 +126,31 @@ def test_object_entity_no_mid_token_match(spark):
     assert [
         (r["residue"], r["position"]) for r in by_url["https://t.org/3"]
     ] == [(None, None)]
+
+
+def test_extended_type_vocabulary(spark):
+    """Extended (non-grammar) triggers are extracted and classified; the
+    synthetic grammar stays pinned to GRAMMAR_TRIGGERS so golden corpora
+    never remap as the vocabulary grows."""
+    from indra_db_spark.operators.extract import extract_statements
+    from indra_db_spark.sources import lexicon as LX
+    from indra_db_spark.sources.synth import page_spec
+
+    assert list(LX.GRAMMAR_TRIGGERS) == list(LX.TRIGGERS)[:12]
+    ent_a, ent_b = sorted(LX.LEXICON)[:2]
+    rows = [
+        ("https://t.org/s", f"{ent_a} sumoylates {ent_b} today.", "en"),
+        ("https://t.org/t", f"{ent_a} translocates {ent_b} now.", "en"),
+        ("https://t.org/d", f"{ent_a} deubiquitinates {ent_b}.", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string"
+    ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "warc_ts", F.current_timestamp()
+    )
+    got = {r["url"]: r["type"] for r in extract_statements(pages).collect()}
+    assert got == {
+        "https://t.org/s": "Sumoylation",
+        "https://t.org/t": "Translocation",
+        "https://t.org/d": "Deubiquitination",
+    }

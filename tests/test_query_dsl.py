@@ -81,12 +81,12 @@ def test_has_type_and_closure(ctx):
     regs = _hashes(HasType(["RegulateActivity"], include_subclasses=True), ctx)
     inhs = _hashes(HasType(["Inhibition"]), ctx)
     assert acts | inhs == regs
-    assert set(type_closure(["Modification"])) == {
+    assert set(type_closure(["Modification"])) >= {
         "Modification", "AddModification", "RemoveModification",
         "Phosphorylation", "Dephosphorylation", "Ubiquitination",
         "Acetylation", "Methylation",
-    }
-    assert set(type_closure(["RemoveModification"])) == {
+    }  # extended vocabulary adds more (test_extended_type_closure)
+    assert set(type_closure(["RemoveModification"])) >= {
         "RemoveModification", "Dephosphorylation",
     }
     assert set(type_closure(["RegulateAmount"])) == {
@@ -312,3 +312,23 @@ def test_ev_limit_keeps_best_evidence_first(ctx):
             full[r["mk_hash"]], key=lambda t: (-t[1], t[0])
         )[: len(kept)]
         assert kept == {rid for rid, _ in ranked}
+
+
+def test_extended_type_closure():
+    from indra_db_spark.plans.query import TYPE_PARENTS, type_closure
+
+    # every concrete type resolves to Statement through the hierarchy
+    for t in TYPE_PARENTS:
+        cur = t
+        seen = set()
+        while cur in TYPE_PARENTS:
+            assert cur not in seen, f"cycle at {cur}"
+            seen.add(cur)
+            cur = TYPE_PARENTS[cur]
+        assert cur == "Statement"
+    # phospho family closure includes auto/trans variants
+    assert set(type_closure(["Phosphorylation"])) == {
+        "Phosphorylation", "Autophosphorylation", "Transphosphorylation",
+    }
+    assert "Sumoylation" in type_closure(["AddModification"])
+    assert "Desumoylation" in type_closure(["RemoveModification"])
