@@ -542,16 +542,10 @@ def _q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id in the cluster). Spark side is the iterative
     large-star/small-star operator (the 100 TB path); the DuckDB twin is
     a recursive reachability CTE (feasible only at oracle scale)."""
-    from indra_db_spark.operators.components import connected_components
-    from indra_db_spark.operators.dedup_docs import jaccard_pairs
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
 
     d = _load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, threshold=0.6).select("doc_a", "doc_b")
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    return cc.select(
-        F.col("mk_hash").alias("doc_id"),
-        F.col("component_id").alias("cluster_id"),
-    ).orderBy("doc_id")
+    return dedup_clusters(d, method="jaccard", threshold=0.6).orderBy("doc_id")
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,3 +230,65 @@ def hamming_distance(a, b):
     """Hamming distance between two 64-bit signature columns (bit_count of
     xor) — the SimHash near-dup predicate at query time."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    method: str = "minhash_lsh",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_params,
+) -> DataFrame:
+    """→ (doc_id, cluster_id): dedup clusters = connected components of
+    the near-dup graph; canonical doc = min doc_id per cluster. Docs with
+    no near-dup edge are absent (each is its own trivial cluster).
+
+    ``method``:
+      - ``'minhash_lsh'`` (the 100 TB path): candidate pairs from banded
+        MinHash-LSH, Jaccard residual at ``threshold`` — no all-pairs
+        anywhere; params forward to :func:`minhash_lsh_candidates`.
+      - ``'jaccard'`` (the exact/oracle path): all shared-shingle pairs at
+        ``threshold`` — quadratic within shingle clusters, DuckDB-
+        mirrorable (driver query ``docs_dup_clusters``).
+    Both feed the same large-star/small-star CC operator.
+    """
+    from indra_db_spark.operators.components import connected_components
+
+    if method == "jaccard":
+        pairs = jaccard_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
+    elif method == "minhash_lsh":
+        cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_params)
+        # Jaccard residual keeps precision 1, computed ONLY on the LSH
+        # candidate pairs (two equi-joins onto per-doc shingle sets +
+        # per-row array intersect/union — never the all-pairs
+        # shared-shingle join the LSH exists to avoid).
+        k = lsh_params.get("k", 3)
+        sets = (
+            word_shingles(df, id_col, text_col, k)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("_sh"))
+        )
+        a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+        b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+        scored = (
+            cands.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "_jac",
+                F.round(
+                    F.size(F.array_intersect("_sa", "_sb"))
+                    / F.size(F.array_union("_sa", "_sb")),
+                    6,
+                ),
+            )
+        )
+        pairs = scored.where(F.col("_jac") >= threshold).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("mk_hash").alias(id_col),
+        F.col("component_id").alias("cluster_id"),
+    )

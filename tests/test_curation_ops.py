@@ -423,3 +423,33 @@ def test_dup_clusters_transitive_closure(spark):
     )
     got = {r["mk_hash"]: r["component_id"] for r in cc.collect()}
     assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_methods_agree(spark):
+    """dedup_clusters: the LSH-candidate path (the 100 TB shape) finds the
+    same clusters as the exact Jaccard path on a planted near-dup corpus
+    (LSH recall is ~1 at J≈0.9 with 16 hashes / 8 bands)."""
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w7 ", "w7x ")),       # near-dup of 1
+        (3, base.replace("w31 ", "w31y ")),     # near-dup of 1 (and ~2)
+        (4, " ".join(f"z{i}" for i in range(40))),
+        (5, " ".join(f"q{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(df, method="jaccard", threshold=0.7).collect()
+    }
+    assert exact == {(1, 1), (2, 1), (3, 1)}
+    lsh = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(
+            df, method="minhash_lsh", threshold=0.7,
+            num_hashes=16, bands=8,
+        ).collect()
+    }
+    assert lsh == exact
