@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "filter_predicates",
     "star_join",
+    "part_supplier_revenue",
     "semi_anti_join",
     "agg_rollup",
     "cube_metrics",
