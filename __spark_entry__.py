@@ -536,6 +536,20 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning recipe as one hash-checked query:
+    quality gate -> language gate -> near-dup cluster removal (exact
+    Jaccard path so DuckDB can mirror; production uses minhash_lsh)."""
+    from indra_db_spark.operators.textops import curate_corpus
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        curate_corpus(d, dedup_method="jaccard")
+        .select("doc_id", "quality_score", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
 def _q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup family: transitive closure of the n-gram-Jaccard near-dup
     graph — dedup clusters as connected components (canonical doc =
@@ -594,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": _q_docs_token_counts,
         "docs_winnow": _q_docs_winnow,
         "docs_dup_clusters": _q_docs_dup_clusters,
+        "docs_curated": _q_docs_curated,
         "embeddings_ivf_ann": _q_ivf_ann,
         # rows-only (non-SQL-expressible: the full iterative pipeline over
         # synthesized pages, and the stubbed media codec)
@@ -887,6 +902,75 @@ def oracle_sql() -> dict[str, str]:
                    list_aggregate(fps, 'min') AS min_fp,
                    list_aggregate(fps, 'max') AS max_fp
             FROM m ORDER BY doc_id
+        """,
+        "docs_curated": r"""
+            WITH RECURSIVE feats AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with|for|on)\b')) AS n_stop,
+                       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit|für|auf|eine|nicht)\b')) AS hits_de,
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|por|con|para|una|del|como|más)\b')) AS hits_es,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|dans|pour|que|une|sur)\b')) AS hits_fr
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, text,
+                       round(
+                         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) BETWEEN 0.001 AND 0.2 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) >= 0.05 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN (CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0 END) <= 0.3 THEN 0.25 ELSE 0 END)
+                       ::DOUBLE, 2) AS quality_score,
+                       CASE WHEN greatest(hits_de, n_stop, hits_es, hits_fr) = 0 THEN 'und'
+                            WHEN hits_de = greatest(hits_de, n_stop, hits_es, hits_fr) THEN 'de'
+                            WHEN n_stop = greatest(hits_de, n_stop, hits_es, hits_fr) THEN 'en'
+                            WHEN hits_es = greatest(hits_de, n_stop, hits_es, hits_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM feats
+            ),
+            kept AS (
+                SELECT doc_id, text, quality_score, lang_pred FROM scored
+                WHERE quality_score >= 0.75 AND lang_pred = 'en'
+            ),
+            words AS (
+              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM kept
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+              WHERE len(w) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            ),
+            und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ),
+            dupes AS (
+              SELECT doc_id FROM (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a)
+              WHERE doc_id <> cluster_id
+            )
+            SELECT doc_id, quality_score, lang_pred FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+            ORDER BY doc_id
         """,
         "docs_dup_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},

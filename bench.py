@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_token_counts",
     "docs_winnow",
     "docs_dup_clusters",
+    "docs_curated",
 ]
 
 KG_BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "20000"))

@@ -229,3 +229,41 @@ def winnow_fingerprints(
         F.array_max("fps").alias("max_fp"),
         "fps",
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    lang: str = "en",
+    dedup_threshold: float = 0.6,
+    dedup_method: str = "minhash_lsh",
+    **dedup_params,
+) -> DataFrame:
+    """The end-to-end training-data cleaning recipe (C4/Gopher-style) as
+    ONE operator: quality gate → language gate → near-dup cluster removal
+    (keep the canonical = min doc_id member of each cluster).
+
+    Gate order is cheapest-first: both gates are scan-speed column
+    expressions that shrink the corpus BEFORE the only shuffling step
+    (dedup); at 100 TB the dedup method should stay 'minhash_lsh'
+    (bucketed candidates), 'jaccard' is the exact/oracle path. Output =
+    surviving rows of ``df`` plus (quality_score, lang_pred).
+    """
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+
+    scored = language_id(quality_features(df, text_col), text_col)
+    kept = scored.where(
+        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
+    ).select(*df.columns, "quality_score", "lang_pred")
+    clusters = dedup_clusters(
+        kept,
+        method=dedup_method,
+        threshold=dedup_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        **dedup_params,
+    )
+    dupes = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return kept.join(dupes, id_col, "left_anti")

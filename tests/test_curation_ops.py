@@ -477,3 +477,33 @@ def test_winnow_via_paths_equal(spark):
             for r in winnow_fingerprints(df, hash_fn=fam, via="explode").collect()
         }
         assert a == b and set(a) == {1, 2, 3, 4}
+
+
+def test_curate_corpus_recipe(spark):
+    """curate_corpus drops low-quality, non-target-language and
+    non-canonical near-dup docs in one pass; both dedup methods agree."""
+    from indra_db_spark.operators.textops import curate_corpus
+
+    good = (
+        "The experiment shows that the protein binds to the receptor and "
+        "the pathway is active in the cell, with strong evidence for it."
+    )
+    rows = [
+        (1, good),
+        (2, good.replace("strong", "weak")),   # near-dup of 1 -> dropped
+        (3, "short junk"),                     # quality gate
+        (4, "le la les des est dans pour que une sur le la les des est."),  # fr
+        (5, "The quick brown fox jumps over the lazy dog and the cat is "
+            "in the warm house, for the sun shines on the hill today."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for method in ("jaccard", "minhash_lsh"):
+        out = curate_corpus(
+            df, dedup_method=method, dedup_threshold=0.5,
+            min_quality=0.75, lang="en",
+        )
+        got = {r["doc_id"] for r in out.collect()}
+        assert got == {1, 5}, (method, got)
+    # survivors keep original columns + the two gate columns
+    cols = set(out.columns)
+    assert {"doc_id", "text", "quality_score", "lang_pred"} <= cols
