@@ -128,6 +128,24 @@ def parse_query(params: dict[str, Any]) -> Query:
     return q
 
 
+def _parse_after(v: Any) -> tuple:
+    """Keyset cursor → (last_sort_value, last_mk_hash), validated.
+
+    Accepts a 2-tuple/list or the HTTP string form "sort,hash". The sort
+    value coerces int-then-float (ev_count vs belief sort columns); the
+    hash is always a signed 64-bit int."""
+    parts = v.split(",") if isinstance(v, str) else list(v)
+    if len(parts) != 2:
+        raise ValueError(f"after must be (last_sort_value, last_mk_hash), got {v!r}")
+    sort_v: Any = parts[0]
+    if isinstance(sort_v, str):
+        try:
+            sort_v = int(sort_v)
+        except ValueError:
+            sort_v = float(sort_v)
+    return (sort_v, int(parts[1]))
+
+
 def run_query(params: dict[str, Any], ctx: QueryContext) -> DataFrame:
     """One-call serving path: parse params, execute, hydrate.
 
@@ -140,5 +158,5 @@ def run_query(params: dict[str, Any], ctx: QueryContext) -> DataFrame:
         sort_by=str(params.get("sort_by", "ev_count")),
         limit=int(params["limit"]) if "limit" in params else None,
         offset=int(params["offset"]) if "offset" in params else None,
-        after=tuple(params["after"]) if "after" in params else None,
+        after=_parse_after(params["after"]) if "after" in params else None,
     )

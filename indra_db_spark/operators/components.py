@@ -66,6 +66,12 @@ def connected_components(
     (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint()`` against
     the cluster FS — the production setting for multi-hour CC over large
     graphs, survives executor loss at the cost of one write per round).
+    Reliable-mode caveats: ``setCheckpointDir`` is GLOBAL SparkContext
+    state (pass a job-scoped dir), and Spark does not delete superseded
+    non-streaming checkpoints unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set it (or
+    clean the dir after the job) or tens of rounds × a multi-TB edge set
+    will accumulate one snapshot per round.
     ``stats`` (optional dict) is filled with {'rounds', 'edges_in'}.
     """
     if checkpoint == "reliable":

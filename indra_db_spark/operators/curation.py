@@ -69,10 +69,19 @@ def submit_curations(
         "curator string, curated_at string",
     ).withColumn(
         "curation_id",
+        # concat_ws silently SKIPS nulls, which would let two curations
+        # differing only in WHICH nullable field is null collide (and the
+        # second be dropped as an "idempotent resubmit") — give every
+        # nullable field an explicit null sentinel first.
         fold_md5_64(
             F.concat_ws(
-                "|", "pa_hash", "source_hash", "tag", "text", "curator",
-                "curated_at",
+                "|",
+                "pa_hash",
+                "source_hash",
+                "tag",
+                F.coalesce(F.col("text"), F.lit("\x00")),
+                F.coalesce(F.col("curator"), F.lit("\x00")),
+                F.coalesce(F.col("curated_at"), F.lit("\x00")),
             )
         ),
     ).select([f.name for f in CURATIONS.fields])

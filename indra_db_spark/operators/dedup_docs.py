@@ -46,7 +46,14 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word k-grams of the normalized text."""
+    """(doc_id, shingle) — distinct word k-grams of the normalized text.
+
+    PRECONDITION: ``id_col`` is unique in ``df`` (it is the documents
+    table's key). Per-doc uniqueness comes from array_distinct before the
+    explode; duplicate input rows for one id would double shingle counts
+    and corrupt Jaccard/MinHash statistics — dedup ids upstream (the
+    exact_duplicates / distill operators) rather than paying a global
+    .distinct() shuffle here on every call."""
     words = F.split(_norm_text(text_col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))

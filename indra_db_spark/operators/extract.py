@@ -150,7 +150,13 @@ def extract_statements(
                 seen: set[tuple] = set()
                 for sent_idx, sent in enumerate(_SENT_SPLIT.split(t.replace("\n", " "))):
                     for m in pat.finditer(sent):
-                        q = _QUAL.search(sent, 0, m.start())
+                        # Bounded lookback: the longest qualifier prefix is
+                        # "X99999Y mutant inactive " (~24 chars); scanning
+                        # from 0 would be O(len·matches) on unpunctuated
+                        # pages (one giant "sentence"). re evaluates \b at
+                        # pos against the true preceding character, so the
+                        # window start is semantics-neutral.
+                        q = _QUAL.search(sent, max(0, m.start() - 32), m.start())
                         key = (q.group(0), m.group(0), sent)
                         if key in seen:
                             continue

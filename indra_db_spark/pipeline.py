@@ -121,10 +121,17 @@ def run_pipeline(
 
     # ---- stage 1: extract + ground → raw_statements (day-partitioned,
     # per-partition resume: only days missing from the manifest are read).
-    source_tag = (
-        "host" if source_expr is None
-        else getattr(source_expr, "__name__", None) or str(source_expr)
-    )
+    # Tag the fingerprint with the RESOLVED expression tree, not the
+    # callable's __name__ — two different lambdas (both "<lambda>") or two
+    # same-named functions must not collide, or a rerun with a changed
+    # derivation would silently serve stale raw_statements.
+    if source_expr is None:
+        source_tag = "host"
+    else:
+        try:
+            source_tag = repr(source_expr(F.col("url")))
+        except Exception:
+            source_tag = getattr(source_expr, "__name__", None) or str(source_expr)
     fp_raw = fingerprint("raw", pages_fingerprint, extractor_version, source_tag, "v1")
     stage = "raw_statements"
     if resume and log.completed(stage, fp_raw):

@@ -188,7 +188,13 @@ class Query:
                 F.collect_list(F.struct("raw_id", "url", "source", "evidence_text"))
             ).alias("evidences")
         )
-        return stmts.join(ev_packed, "mk_hash", "left")
+        # The hydration join does NOT preserve the pre-join sort (at scale
+        # it plans as a SortMergeJoin keyed on mk_hash) — re-apply the
+        # output order after the join so the serving contract holds
+        # regardless of the chosen physical join.
+        return stmts.join(ev_packed, "mk_hash", "left").orderBy(
+            F.desc(sort_by), F.asc("mk_hash")
+        )
 
     # ---- grouped result modes (query.py::Query.get_interactions /
     # get_relations / get_agents — same hash set, different final grouping)

@@ -94,3 +94,20 @@ def test_rejects_unknown_and_empty():
         parse_query({"subjct": "TP53"})
     with pytest.raises(ValueError, match="empty"):
         parse_query({})
+
+
+def test_after_cursor_string_form(ctx):
+    """HTTP string cursor "sort,hash" parses and pages correctly."""
+    page1 = run_query({"agent": "TP53", "limit": 3}, ctx).collect()
+    last = page1[-1]
+    page2 = run_query(
+        {"agent": "TP53", "limit": 3,
+         "after": f"{last['ev_count']},{last['mk_hash']}"},
+        ctx,
+    ).collect()
+    ids1 = {r["mk_hash"] for r in page1}
+    assert page2 and not ({r["mk_hash"] for r in page2} & ids1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="after"):
+        run_query({"agent": "TP53", "after": "5"}, ctx)

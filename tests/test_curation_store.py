@@ -96,3 +96,17 @@ def test_flags_and_dsl(spark, store):
     assert hashes(NotFlaggedIncorrect()) == {1, 3}
     # composes with other leaves: serving filter drops curated-wrong stmts
     assert hashes(HasType(["Activation"]) & NotFlaggedIncorrect()) == {1}
+
+
+def test_null_field_positions_do_not_collide(spark, tmp_path):
+    """Review r2: concat_ws silently skips nulls — two curations that
+    differ only in WHICH nullable field is null must get distinct ids."""
+    from indra_db_spark.operators.curation import submit_curations
+
+    path = str(tmp_path / "cur")
+    rows = [
+        (1, 101, "other", None, "bob", "2024"),
+        (1, 101, "other", "bob", "2024", None),
+    ]
+    out = submit_curations(spark, path, rows)
+    assert out.select("curation_id").distinct().count() == 2

@@ -91,3 +91,27 @@ def test_changed_fingerprint_invalidates(spark):
         assert "raw_statements" not in r2.skipped
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_changed_source_expr_invalidates(spark, tmp_path):
+    """Review r2: the stage fingerprint must derive from the RESOLVED
+    source expression, not the callable's __name__ — two different
+    lambdas must not collide into a silently-stale rerun."""
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.pipeline import run_pipeline
+    from indra_db_spark.sources.synth import synth_pages
+
+    out = str(tmp_path / "kg")
+    pages = synth_pages(spark, 60, seed=42)
+    run_pipeline(spark, pages, out, pages_fingerprint="v60",
+                 source_expr=lambda u: F.lit("alpha"))
+    r2 = run_pipeline(spark, pages, out, pages_fingerprint="v60",
+                      source_expr=lambda u: F.lit("beta"))
+    assert "raw_statements" not in r2.skipped
+    srcs = {r["source"] for r in r2.tables["raw_statements"].select("source").distinct().collect()}
+    assert srcs == {"beta"}
+    # identical expression -> still resumes
+    r3 = run_pipeline(spark, pages, out, pages_fingerprint="v60",
+                      source_expr=lambda u: F.lit("beta"))
+    assert "raw_statements" in r3.skipped
