@@ -25,6 +25,8 @@ import hashlib
 import json
 import os
 import time
+
+from indra_db_spark.sources.storage import _write_json_atomic
 from dataclasses import dataclass, field
 
 
@@ -54,19 +56,21 @@ class LineageLog:
         return os.path.join(self._stage_dir(stage), "_stage.json")
 
     def completed(self, stage: str, input_fingerprint: str) -> bool:
-        p = self._stage_path(stage)
-        if not os.path.exists(p):
-            return False
-        with open(p) as f:
-            rec = json.load(f)
-        return rec.get("input_fingerprint") == input_fingerprint
+        rec = self.read(stage)
+        return rec is not None and rec.get("input_fingerprint") == input_fingerprint
 
     def read(self, stage: str) -> dict | None:
+        """None for missing OR unreadable (torn-write) manifests — an
+        undecodable commit pointer means 'not committed', never a crash
+        that bricks every later resume."""
         p = self._stage_path(stage)
         if not os.path.exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except json.JSONDecodeError:
+            return None
 
     def commit_stage(
         self,
@@ -82,15 +86,14 @@ class LineageLog:
         if partition_counts:
             for part, n in partition_counts.items():
                 safe = str(part).replace("/", "_")
-                with open(os.path.join(d, f"part={safe}.json"), "w") as f:
-                    json.dump(
-                        {
-                            "partition": str(part),
-                            "rows": n,
-                            "input_fingerprint": input_fingerprint,
-                        },
-                        f,
-                    )
+                _write_json_atomic(
+                    os.path.join(d, f"part={safe}.json"),
+                    {
+                        "partition": str(part),
+                        "rows": n,
+                        "input_fingerprint": input_fingerprint,
+                    },
+                )
         rec = {
             "stage": stage,
             "input_fingerprint": input_fingerprint,
@@ -100,9 +103,9 @@ class LineageLog:
             "committed_at_unix": int(time.time()),
             **extra,
         }
-        # Manifest written last = the atomic commit pointer.
-        with open(self._stage_path(stage), "w") as f:
-            json.dump(rec, f, indent=1)
+        # Manifest written last = the atomic commit pointer (temp+rename:
+        # a crash mid-write must leave old-or-nothing, not torn JSON).
+        _write_json_atomic(self._stage_path(stage), rec)
 
     def completed_partitions(
         self, stage: str, input_fingerprint: str | None = None
@@ -117,8 +120,11 @@ class LineageLog:
         out = set()
         for name in os.listdir(d):
             if name.startswith("part=") and name.endswith(".json"):
-                with open(os.path.join(d, name)) as f:
-                    rec = json.load(f)
+                try:
+                    with open(os.path.join(d, name)) as f:
+                        rec = json.load(f)
+                except json.JSONDecodeError:
+                    continue  # torn write = that partition not committed
                 if (
                     input_fingerprint is not None
                     and rec.get("input_fingerprint") != input_fingerprint

@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def version_key(version_col) -> "F.Column":
+    """Dotted version string → array<int> sort key. String max would
+    invert once a component crosses a digit-count boundary ('2.9' > '2.10'
+    lexicographically); arrays of ints compare component-wise. Non-numeric
+    components order as 0 (try_cast) rather than erroring."""
+    return F.transform(
+        F.split(version_col, r"\."),
+        lambda p: F.coalesce(p.try_cast("int"), F.lit(0)),
+    )
+
+
 def distill(raw: DataFrame) -> DataFrame:
     # ONE explicit shuffle on url: HashPartitioning(url) satisfies the
     # ClusteredDistribution of BOTH the (url, extractor) window and the
@@ -26,11 +37,16 @@ def distill(raw: DataFrame) -> DataFrame:
     # further exchange — without it these are two full shuffles of wide
     # evidence rows.
     w = Window.partitionBy("url", "extractor")
-    best = F.max("extractor_version").over(w)
+    best = F.max(version_key(F.col("extractor_version"))).over(w)
+    deduped = Window.partitionBy("url", "mk_hash", "source_hash").orderBy(
+        F.asc("raw_id")  # deterministic survivor (dropDuplicates is not)
+    )
     return (
         raw.repartition("url")
         .withColumn("_best_version", best)
-        .where(F.col("extractor_version") == F.col("_best_version"))
+        .where(version_key(F.col("extractor_version")) == F.col("_best_version"))
         .drop("_best_version")
-        .dropDuplicates(["url", "mk_hash", "source_hash"])
+        .withColumn("_rn", F.row_number().over(deduped))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -157,7 +157,15 @@ def extract_statements(
                         # pos against the true preceding character, so the
                         # window start is semantics-neutral.
                         q = _QUAL.search(sent, max(0, m.start() - 32), m.start())
-                        key = (q.group(0), m.group(0), sent)
+                        # Dedup on the CAPTURED groups, not raw matched
+                        # text: two matches differing only in inter-token
+                        # whitespace are the same statement + evidence
+                        # (same mk_hash & source_hash downstream) — keying
+                        # on m.group(0) would keep both here while
+                        # distill()/the twin collapse them, breaking
+                        # supplement == rebuild. First match wins
+                        # (finditer order — deterministic).
+                        key = (q.groups(), m.groups(), sent)
                         if key in seen:
                             continue
                         seen.add(key)

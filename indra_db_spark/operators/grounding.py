@@ -29,12 +29,12 @@ from indra_db_spark.functions.textnorm import normalize_text_expr
 
 
 def regularize_agent_id(db_id, db_ns):
-    """Strip a redundant leading ``<ns>:`` from the id (G4)."""
+    """Strip a redundant leading ``<ns>:`` from the id (G4). Built from
+    the PASSED Columns — an F.expr with hardcoded names would silently
+    read (or fail on) the caller's unrelated db_id/db_ns columns."""
     prefix = F.concat(db_ns, F.lit(":"))
-    return F.when(
-        db_id.startswith(prefix),
-        F.expr("substring(db_id, length(db_ns) + 2)"),
-    ).otherwise(db_id)
+    stripped = db_id.substr(F.length(db_ns) + F.lit(2), F.length(db_id))
+    return F.when(db_id.startswith(prefix), stripped).otherwise(db_id)
 
 
 def resolve_grounding_map(grounding_map: DataFrame) -> DataFrame:

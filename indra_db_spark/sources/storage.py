@@ -39,6 +39,16 @@ def _hashable(df: DataFrame) -> list:
     return cols
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """temp-file + rename: the manifest is the commit pointer, so a crash
+    mid-write must leave either the old manifest or none — never truncated
+    JSON that poisons every later resume."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def _content_signature(df: DataFrame) -> tuple[int, int]:
     """(row_count, order-insensitive value hash) in one agg pass."""
     row = df.agg(
@@ -76,7 +86,22 @@ def write_table(
         # of small files serializes the job. A within-partition splitter
         # keeps write parallelism above the distinct-value count (a pure
         # repartition(day) caps encoding at #days concurrent tasks).
-        split = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(files_per_partition))
+        # Hash a spread of NON-partition columns (first-column-only
+        # degenerates to constant when that column is the partition key or
+        # a per-partition constant, collapsing write parallelism); maps are
+        # not xxhash64-able, canonicalize via _hashable.
+        from pyspark.sql.types import MapType
+
+        split_cols = []
+        for f_ in df.schema.fields:
+            if f_.name in partition_by:
+                continue
+            c = F.col(f_.name)
+            if isinstance(f_.dataType, MapType):
+                c = F.array_sort(F.map_entries(c))
+            split_cols.append(c)
+        split_cols = split_cols[:4] or [F.lit(1)]
+        split = F.pmod(F.xxhash64(*split_cols), F.lit(files_per_partition))
         df = df.repartition(*partition_by, split)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
@@ -111,8 +136,7 @@ def write_table(
         back = spark.read.schema(df.schema).parquet(path)
         _, h = _content_signature(back.select(*sorted(back.columns)))
         manifest["snapshot_id"] = h
-    with open(os.path.join(path, "_table_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_json_atomic(os.path.join(path, "_table_manifest.json"), manifest)
     return manifest
 
 
@@ -149,7 +173,9 @@ def append_lazy(
     """copy_lazy analog: append only rows whose key is not present."""
     spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_table_manifest.json")):
-        existing = spark.read.parquet(path).select(*key_cols)
+        # read_table, not spark.read.parquet: an existing-but-empty table
+        # has no parquet footers to infer a schema from
+        existing = read_table(spark, path).select(*key_cols)
         df = df.join(existing, key_cols, "left_anti")
     return write_table(df, path, partition_by, mode="append")
 
@@ -170,5 +196,8 @@ def read_manifest(path: str) -> dict | None:
     p = os.path.join(path, "_table_manifest.json")
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except json.JSONDecodeError:
+        return None  # torn write from a pre-atomic version: uncommitted

@@ -78,8 +78,11 @@ def supplement_corpus(
     ).join(old_raw.select("raw_id"), "raw_id", "left_anti")
     new_raw = new_raw.localCheckpoint()  # consumed several times below
 
-    # 3. affected hashes: new batch hashes ∪ all hashes on re-read urls.
-    new_urls = new_raw.select("url").distinct()
+    # 3. affected hashes: new batch hashes ∪ all hashes on re-read PAGES.
+    # Urls come from new_pages, not new_raw: a re-read page that yields
+    # ZERO statements at the bumped version must still supersede its old
+    # readings (the full rebuild has none of them).
+    new_urls = new_pages.select("url").distinct()
     affected = (
         new_raw.select("mk_hash")
         .unionByName(
@@ -89,12 +92,28 @@ def supplement_corpus(
         .localCheckpoint()
     )
 
-    # 4. gather all raw evidence for affected hashes, re-distill, re-agg.
-    gathered = (
+    # 4. gather raw evidence for re-distillation. The gather is URL-scoped,
+    # not hash-scoped: distill's per-(url, extractor) version max must see
+    # ALL of a url's rows — a hash-scoped subset could omit the url's
+    # newest-version rows (their hashes unaffected) and resurrect evidence
+    # an earlier version bump already superseded. The pa/evidence rebuild
+    # is then restricted back to the affected hash set so the merge stays
+    # disjoint with the kept (anti-joined) old rows.
+    aff_urls = (
         old_raw.join(affected, "mk_hash", "left_semi")
+        .select("url")
+        .unionByName(new_urls)
+        .distinct()
+    )
+    gathered = (
+        old_raw.join(aff_urls, "url", "left_semi")
         .unionByName(new_raw)
     )
-    distilled = distill_op.distill(gathered).localCheckpoint()
+    distilled = (
+        distill_op.distill(gathered)
+        .join(affected, "mk_hash", "left_semi")
+        .localCheckpoint()
+    )
     pa_affected = dedup_op.build_pa_statements(distilled)
 
     merged_pa_base = (
@@ -124,10 +143,14 @@ def supplement_corpus(
         .localCheckpoint()
     )
 
-    # 6. belief: affected ∪ one-hop supported-by-affected.
+    # 6. belief: affected ∪ one-hop supported-by-affected — in the OLD
+    # link set too: when an affected supporter vanishes entirely, its edge
+    # is absent from merged_link, but the statements it used to support
+    # still need their (now lower) belief recomputed.
     dirty = (
         affected.unionByName(
-            merged_link.join(aff_s, "supporting_mk_hash", "left_semi")
+            merged_link.unionByName(old_link)
+            .join(aff_s, "supporting_mk_hash", "left_semi")
             .select(F.col("supported_mk_hash").alias("mk_hash"))
         )
         .distinct()
@@ -181,16 +204,22 @@ def supplement_corpus(
         .localCheckpoint()  # plan reads the files the write replaces
     )
     storage.write_table(merged_evidence, path("evidence"), None)
+    storage.write_table(merged_final, path("pa_statements"), ["bucket"])
+    storage.write_table(merged_link.select("supported_mk_hash", "supporting_mk_hash"), path("pa_link"), None)
+    cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))
+    storage.write_table(cc, path("pa_groups"), None)
+    # The raw append is the COMMIT POINT and therefore the LAST write: a
+    # retry decides "is this batch already in?" via the raw_id anti-join,
+    # so raw must only contain the batch once every derived table does. A
+    # crash anywhere above leaves raw without the batch → the retry
+    # re-derives everything (deterministically); appending raw first would
+    # make that same retry a silent no-op with stale derived tables.
     storage.write_table(
         new_raw.withColumn("day", F.date_format("warc_ts", "yyyy-MM-dd")),
         path("raw_statements"),
         ["day"],
         mode="append",
     )
-    storage.write_table(merged_final, path("pa_statements"), ["bucket"])
-    storage.write_table(merged_link.select("supported_mk_hash", "supporting_mk_hash"), path("pa_link"), None)
-    cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))
-    storage.write_table(cc, path("pa_groups"), None)
 
     return {
         "pa_statements": storage.read_table(spark, path("pa_statements")),

@@ -115,3 +115,25 @@ def test_changed_source_expr_invalidates(spark, tmp_path):
     r3 = run_pipeline(spark, pages, out, pages_fingerprint="v60",
                       source_expr=lambda u: F.lit("beta"))
     assert "raw_statements" in r3.skipped
+
+
+def test_torn_manifest_means_uncommitted(spark, tmp_path):
+    """Review r2: a truncated stage manifest (crash mid-write before the
+    atomic-rename fix existed) must read as 'not committed', not crash."""
+    from indra_db_spark.lineage import LineageLog
+
+    log = LineageLog(str(tmp_path))
+    log.commit_stage("s1", "fpA", 1.0, 10, partition_counts={"d1": 10})
+    assert log.completed("s1", "fpA")
+    with open(log._stage_path("s1"), "w") as f:
+        f.write('{"stage": "s1", "input_fing')  # torn
+    assert not log.completed("s1", "fpA")
+    assert log.read("s1") is None
+    # torn partition manifest: that partition just doesn't count
+    import os
+
+    d = log._stage_dir("s1")
+    part = [n for n in os.listdir(d) if n.startswith("part=")][0]
+    with open(os.path.join(d, part), "w") as f:
+        f.write("{")
+    assert log.completed_partitions("s1", "fpA") == set()
