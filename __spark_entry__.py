@@ -70,7 +70,10 @@ def entry(spark: SparkSession) -> DataFrame:
     raw = ground_statements(
         extract_statements(pages), dims.grounding_map_df(spark)
     )
-    pa = build_pa_statements(distill(raw))
+    # localCheckpoint before the emptiness probe: take(1) otherwise runs
+    # the whole extract->ground->dedup DAG once for the probe and AGAIN
+    # when the driver consumes the returned frame.
+    pa = build_pa_statements(distill(raw)).localCheckpoint()
     if pa.take(1):
         return pa
     # Driver documents carry arbitrary prose — if the bio grammar finds
@@ -757,12 +760,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scalar_funcs": """
             SELECT event_id,
-                   json_extract_string(props, '$.k')::BIGINT AS prop_k,
+                   try_cast(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
                    date_trunc('month', ts)::DATE AS month,
                    upper(event_type) AS etype,
                    length(props) AS props_len
             FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
             ORDER BY event_id
         """,
         "mk_hash": f"""
@@ -795,9 +798,9 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END, 6) AS stopword_ratio,
                    round(
                      (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END) +
-                     (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) BETWEEN 0.001 AND 0.2 THEN 0.25 ELSE 0 END) +
-                     (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) >= 0.05 THEN 0.25 ELSE 0 END) +
-                     (CASE WHEN (CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0 END) <= 0.3 THEN 0.25 ELSE 0 END)
+                     (CASE WHEN round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END, 6) BETWEEN 0.001 AND 0.2 THEN 0.25 ELSE 0 END) +
+                     (CASE WHEN round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END, 6) >= 0.05 THEN 0.25 ELSE 0 END) +
+                     (CASE WHEN round(CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0 END, 6) <= 0.3 THEN 0.25 ELSE 0 END)
                    ::DOUBLE, 2) AS quality_score
             FROM feats ORDER BY doc_id
         """,
@@ -821,7 +824,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
             ORDER BY doc_a, doc_b
         """,
         "docs_shingle_stats": f"""
@@ -921,9 +924,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text,
                        round(
                          (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END) +
-                         (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) BETWEEN 0.001 AND 0.2 THEN 0.25 ELSE 0 END) +
-                         (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) >= 0.05 THEN 0.25 ELSE 0 END) +
-                         (CASE WHEN (CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0 END) <= 0.3 THEN 0.25 ELSE 0 END)
+                         (CASE WHEN round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END, 6) BETWEEN 0.001 AND 0.2 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN round(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END, 6) >= 0.05 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN round(CASE WHEN n_chars > 0 THEN n_upper::DOUBLE / n_chars ELSE 0 END, 6) <= 0.3 THEN 0.25 ELSE 0 END)
                        ::DOUBLE, 2) AS quality_score,
                        CASE WHEN greatest(hits_de, n_stop, hits_es, hits_fr) = 0 THEN 'und'
                             WHEN hits_de = greatest(hits_de, n_stop, hits_es, hits_fr) THEN 'de'
@@ -953,7 +956,7 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
               SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+              WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
             ),
             und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                     UNION SELECT doc_b, doc_a FROM pairs),
@@ -985,7 +988,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a, doc_b FROM inter
                 JOIN sizes sa ON sa.doc_id = doc_a
                 JOIN sizes sb ON sb.doc_id = doc_b
-                WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+                WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
             ),
             und AS (
                 SELECT doc_a AS a, doc_b AS b FROM pairs

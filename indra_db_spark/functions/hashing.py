@@ -78,7 +78,8 @@ def agent_activity_key_expr(activity: Column) -> Column:
             F.lit(";act="),
             F.coalesce(activity["activity_type"], F.lit("")),
             F.lit(":"),
-            activity["is_active"].cast("string"),
+            # coalesce: a null is_active must not null the whole agent key
+            F.coalesce(activity["is_active"].cast("string"), F.lit("")),
         )
     )
 
@@ -145,7 +146,13 @@ def matches_key_expr(stmt_type: Column, subj: Column, obj: Column, mods: Column)
     indra.statements.Complex.matches_key sorts members) → sort the two agent
     keys before joining.
     """
-    k1, k2 = agent_key_expr(subj), agent_key_expr(obj)
+    # NULL agent keys coalesce to '' BEFORE the join: concat_ws skips
+    # nulls, which would collapse Type(A, null) and Type(null, A) into the
+    # same 'Type(A)' key — distinct statements must never share a hash.
+    # 'Type(A, )' vs 'Type(, A)' keeps them apart and matches the Python
+    # twin's rendering of an empty agent key.
+    k1 = F.coalesce(agent_key_expr(subj), F.lit(""))
+    k2 = F.coalesce(agent_key_expr(obj), F.lit(""))
     pair = F.when(
         stmt_type == F.lit("Complex"),
         F.array_sort(F.array(k1, k2)),
@@ -166,6 +173,7 @@ def matches_key_py(
     mods: list[tuple[str, str, str]] | None = None,
 ) -> str:
     """Python twin for golden-fixture computation."""
+    subj_key, obj_key = subj_key or "", obj_key or ""
     if stmt_type == "Complex":
         subj_key, obj_key = sorted([subj_key, obj_key])
     mods_key = "".join(

@@ -98,14 +98,24 @@ def connected_components(
         stats["rounds"] = 0
     if sig[0] == 0:  # no edges — skip the iteration machinery entirely
         return e.select(F.col("u").alias("mk_hash"), F.col("v").alias("component_id"))
+    converged = False
     for i in range(max_iter):
         e = ckpt(_small_star(_large_star(e)))
         new_sig = _signature(e)
         if stats is not None:
             stats["rounds"] = i + 1
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # A non-converged edge set is NOT a star forest: nodes would carry
+        # several conflicting component_ids and every downstream join
+        # would silently fan out. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(edges={sig[0]}); raise max_iter (O(log² n) expected)"
+        )
     # Converged star forest: every edge points node → root.
     roots = e.select(F.col("u").alias("mk_hash"), F.col("v").alias("component_id"))
     # Roots themselves appear only on the v side → add self-rows.

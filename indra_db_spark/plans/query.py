@@ -183,9 +183,26 @@ class Query:
             ev = ev.withColumn("_rn", F.row_number().over(w)).where(
                 F.col("_rn") <= ev_limit
             ).drop("_rn")
+        # richest-evidence-first INSIDE the array too (the reference
+        # contract): sort on a leading (-text_length, raw_id) key, then
+        # strip it — array_sort on the bare struct would order by raw_id,
+        # i.e. by a hash.
+        ev_struct = F.struct(
+            (-F.length("evidence_text")).alias("_neg_len"),
+            F.col("raw_id"),
+            F.col("url"),
+            F.col("source"),
+            F.col("evidence_text"),
+        )
         ev_packed = ev.groupBy("mk_hash").agg(
-            F.array_sort(
-                F.collect_list(F.struct("raw_id", "url", "source", "evidence_text"))
+            F.transform(
+                F.array_sort(F.collect_list(ev_struct)),
+                lambda e: F.struct(
+                    e["raw_id"].alias("raw_id"),
+                    e["url"].alias("url"),
+                    e["source"].alias("source"),
+                    e["evidence_text"].alias("evidence_text"),
+                ),
             ).alias("evidences")
         )
         # The hydration join does NOT preserve the pre-join sort (at scale
@@ -454,6 +471,10 @@ class Intersection(Query):
     queries: list[Query] = field(default_factory=list)
 
     def hashes(self, ctx: QueryContext) -> DataFrame:
+        if not self.queries:
+            # reference semantics: the empty intersection is trivially
+            # true — everything matches ([P] query.py Intersection)
+            return ctx.pa_statements.select("mk_hash").distinct()
         dfs = [q.hashes(ctx) for q in self.queries]
         out = dfs[0]
         for d in dfs[1:]:
@@ -466,6 +487,9 @@ class Union(Query):
     queries: list[Query] = field(default_factory=list)
 
     def hashes(self, ctx: QueryContext) -> DataFrame:
+        if not self.queries:
+            # empty union = EmptyQuery (nothing matches)
+            return EmptyQuery().hashes(ctx)
         out = self.queries[0].hashes(ctx)
         for q in self.queries[1:]:
             out = out.unionByName(q.hashes(ctx))

@@ -52,10 +52,17 @@ def load_knowledgebase(
         "array<struct<position:string,residue_from:string,residue_to:string>>"
     )
     no_act = F.lit(None).cast("struct<activity_type:string,is_active:boolean>")
+    from indra_db_spark.operators.grounding import regularize_agent_id
+
+    # Regularize ids exactly like the reading path (grounding.py::
+    # resolve_grounding_map): a KB triple with a redundant '<ns>:' prefix
+    # must hash to the same mk_hash as the identical read statement, or
+    # the two provenances never merge (ev_count splits, HasDatabases &
+    # HasReadings misses, no KB belief boost).
     agent = lambda p: F.struct(
         F.col(f"{p}_name").alias("text"),
         F.col(f"{p}_ns").alias("db_ns"),
-        F.col(f"{p}_id").alias("db_id"),
+        regularize_agent_id(F.col(f"{p}_id"), F.col(f"{p}_ns")).alias("db_id"),
         F.coalesce(F.col(f"{p}_name"), F.col(f"{p}_id")).alias("name"),
         no_muts.alias("muts"),
         no_act.alias("activity"),

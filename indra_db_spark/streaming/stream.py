@@ -25,19 +25,25 @@ def incremental_assembly_stream(
     pages_stream_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    watermark: str = "1 day",
+    trigger: dict | None = None,
     **supplement_kwargs,
 ):
     """pages parquet-file stream → foreachBatch(supplement_corpus).
 
+    ``trigger``: kwargs for ``DataStreamWriter.trigger``. The default
+    ``{"availableNow": True}`` DRAINS the current backlog and terminates
+    (batch-catchup / test mode); a continuously-running service must pass
+    e.g. ``{"processingTime": "1 minute"}`` — with availableNow the query
+    stops after the initial files and later crawls would silently never
+    assemble. No ``withWatermark`` here: with a foreachBatch sink there is
+    no stateful operator for it to bound, so it would be a no-op implying
+    late-data handling that lives in supplement_corpus's distill/supersede
+    semantics instead.
+
     Returns the StreamingQuery; callers drive it with
     ``q.processAllAvailable()`` (tests) or ``q.awaitTermination()``.
     """
-    stream = (
-        spark.readStream.schema(PAGES)
-        .parquet(pages_stream_dir)
-        .withWatermark("warc_ts", watermark)
-    )
+    stream = spark.readStream.schema(PAGES).parquet(pages_stream_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -47,6 +53,6 @@ def incremental_assembly_stream(
     return (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

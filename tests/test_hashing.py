@@ -74,3 +74,27 @@ def test_matches_key_mods_sorted():
         [("phosphorylation", "T", "308"), ("phosphorylation", "S", "15")],
     )
     assert a == b
+
+
+def test_null_agent_keys_do_not_collapse(spark):
+    """Review r3: Type(A, null) and Type(null, A) must hash differently
+    (concat_ws skips nulls — the keys coalesce to '' first)."""
+    from indra_db_spark.functions.hashing import matches_key_expr
+
+    agent = "struct<db_ns:string,db_id:string,muts:array<struct<position:string,residue_from:string,residue_to:string>>,activity:struct<activity_type:string,is_active:boolean>>"
+    df = spark.createDataFrame(
+        [("Activation", ("HGNC", "1", [], None), None),
+         ("Activation", None, ("HGNC", "1", [], None))],
+        f"type string, subj {agent}, obj {agent}",
+    )
+    keys = [
+        r["k"] for r in df.select(
+            matches_key_expr(
+                F.col("type"), F.col("subj"), F.col("obj"),
+                F.array().cast("array<struct<mod_type:string,residue:string,position:string>>"),
+            ).alias("k")
+        ).collect()
+    ]
+    assert keys[0] == "Activation(HGNC:1, )"
+    assert keys[1] == "Activation(, HGNC:1)"
+    assert keys[0] != keys[1]
