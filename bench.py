@@ -108,8 +108,11 @@ def main() -> None:
     # measures the engine reading from storage, not the test-data generator.
     import tempfile
 
+    from indra_db_spark.sources.synth import corpus_fingerprint
+
     pages_dir = os.path.join(
-        tempfile.gettempdir(), f"kg_bench_pages_{KG_BENCH_PAGES}"
+        tempfile.gettempdir(),
+        f"kg_bench_pages_{KG_BENCH_PAGES}_{corpus_fingerprint()}",
     )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         synth_pages(spark, KG_BENCH_PAGES, seed=42).write.mode("overwrite").parquet(

@@ -69,26 +69,21 @@ def submit_curations(
         "curator string, curated_at string",
     ).withColumn(
         "curation_id",
-        # concat_ws silently SKIPS nulls, which would let two curations
-        # differing only in WHICH nullable field is null collide (and the
-        # second be dropped as an "idempotent resubmit") — give every
-        # nullable field an explicit null sentinel first.
+        # to_json escapes delimiters and distinguishes null from any
+        # string value — concat_ws-style keys collide when free text
+        # contains the separator or equals the null sentinel.
         fold_md5_64(
-            F.concat_ws(
-                "|",
-                "pa_hash",
-                "source_hash",
-                "tag",
-                F.coalesce(F.col("text"), F.lit("\x00")),
-                F.coalesce(F.col("curator"), F.lit("\x00")),
-                F.coalesce(F.col("curated_at"), F.lit("\x00")),
+            F.to_json(
+                F.struct(
+                    "pa_hash", "source_hash", "tag", "text", "curator",
+                    "curated_at",
+                )
             )
         ),
-    ).select([f.name for f in CURATIONS.fields])
-    if os.path.exists(os.path.join(path, "_table_manifest.json")):
-        storage.append_lazy(df, path, ["curation_id"])
-    else:
-        storage.write_table(df, path)
+    ).dropDuplicates(["curation_id"]).select([f.name for f in CURATIONS.fields])
+    # append_lazy handles the fresh-table case itself; dropDuplicates
+    # above makes within-batch resubmits idempotent too.
+    storage.append_lazy(df, path, ["curation_id"])
     return storage.read_table(spark, path)
 
 

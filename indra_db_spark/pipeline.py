@@ -76,7 +76,9 @@ def run_pipeline(
     Writes use **static** overwrite: a fingerprint-invalidated rerun
     replaces the whole table (dynamic partition overwrite would leave
     stale partitions from the prior corpus in place); the partial-resume
-    path appends only the missing, fingerprint-matching partitions.
+    path re-writes only the not-yet-committed partitions via scoped
+    DYNAMIC partition overwrite — idempotent whether the crash left a
+    day's data, its part manifest, both, or neither.
     """
     log = LineageLog(out_dir)
     res = PipelineResult()
@@ -132,7 +134,16 @@ def run_pipeline(
             source_tag = repr(source_expr(F.col("url")))
         except Exception:
             source_tag = getattr(source_expr, "__name__", None) or str(source_expr)
-    fp_raw = fingerprint("raw", pages_fingerprint, extractor_version, source_tag, "v1")
+    # Dim inputs are part of every consuming stage's identity: a resumed
+    # run with a changed grounding map / isa closure / priors must NOT
+    # serve tables computed from the old dims. The dims are tiny — one
+    # content-signature agg each per run.
+    gm_sig = storage._content_signature(grounding_map)[1]
+    isa_sig = storage._content_signature(isa_closure)[1]
+    priors_sig = storage._content_signature(priors)[1]
+    fp_raw = fingerprint(
+        "raw", pages_fingerprint, extractor_version, source_tag, gm_sig, "v1"
+    )
     stage = "raw_statements"
     if resume and log.completed(stage, fp_raw):
         res.skipped.append(stage)
@@ -158,7 +169,12 @@ def run_pipeline(
         raw = ground_op.ground_statements(
             extracted, grounding_map, source_expr=source_expr
         ).withColumn("day", _day("warc_ts"))
-        mode = "append" if partial_ok else "overwrite"
+        # Partial resume uses DYNAMIC PARTITION OVERWRITE, not append: a
+        # crash can leave a day with data but no part manifest (mid-write)
+        # or with BOTH data and a part manifest but no stage commit
+        # (mid-commit) — re-writing the not-done days must replace
+        # whatever is there, never stack on top of it.
+        mode = "overwrite_partitions" if partial_ok else "overwrite"
         storage.write_table(
             raw, path("raw_statements"), ["day"], mode=mode, compute_signature=False
         )
@@ -213,7 +229,7 @@ def run_pipeline(
     pa_base = res.tables["pa_statements_base"]
 
     # ---- stage 3: refinement links
-    fp_link = fingerprint("link", fp_pa, "v1")
+    fp_link = fingerprint("link", fp_pa, isa_sig, "v1")
     run_stage(
         "pa_link",
         fp_link,
@@ -232,7 +248,7 @@ def run_pipeline(
     )
 
     # ---- stage 5: belief → final pa_statements
-    fp_belief = fingerprint("belief", fp_link, "v1")
+    fp_belief = fingerprint("belief", fp_link, priors_sig, "v1")
 
     def build_final():
         final = belief_op.with_belief(pa_base, pa_link, priors).withColumn(

@@ -31,7 +31,9 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = 64 if n == "*" else max(8, 2 * int(n))
+        # local[N,maxFailures] is a legal master URL — only N sizes shuffles
+        n = n.split(",")[0].strip()
+        shuffle_partitions = 64 if not n.isdigit() else max(8, 2 * int(n))
 
     builder = (
         SparkSession.builder.master(master)

@@ -105,13 +105,35 @@ def write_table(
         df = df.repartition(*partition_by, split)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
+    if mode not in ("overwrite", "append", "overwrite_partitions"):
+        raise ValueError(f"unknown write mode {mode!r}")
+    if mode == "overwrite_partitions" and not partition_by:
+        raise ValueError("overwrite_partitions requires partition_by")
     obs = Observation()
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = observed.write.mode("overwrite" if mode != "append" else "append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if mode == "overwrite_partitions":
+        # Replace ONLY the partitions present in df (idempotent partial
+        # resume: re-writing a day replaces whatever a crashed run left
+        # there — append would stack duplicates). Conf is scoped to this
+        # write; full-table overwrite stays static (ADVICE r2: dynamic
+        # overwrite on an invalidated rerun preserves stale partitions).
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)
     n_rows = obs.get["rows"]
+    if mode == "overwrite_partitions":
+        # written-rows ≠ table rows (untouched partitions persist):
+        # recount from footers — a metadata-only job for parquet.
+        n_rows = df.sparkSession.read.schema(df.schema).parquet(path).count()
     if mode == "append":
         # the manifest describes the TABLE, not the batch — accumulate the
         # prior manifest's count so audits reading row_count stay truthful

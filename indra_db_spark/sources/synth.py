@@ -165,6 +165,23 @@ def pages_pandas(n: int, seed: int = 42, start: int = 0, ts_stride_s: int = 137)
     return pdf
 
 
+def corpus_fingerprint(probe: int = 32, seed: int = 42) -> str:
+    """Short content hash of the generator itself (first ``probe`` pages,
+    html + text + lang). Cache directories for pre-materialized corpora
+    must be keyed by this, not just the page count — otherwise a grammar
+    or renderer change silently benchmarks stale data."""
+    import hashlib
+
+    pdf = pages_pandas(probe, seed)
+    h = hashlib.md5()
+    for _, r in pdf.iterrows():
+        h.update(r["url"].encode())
+        h.update(r["html"] or b"")
+        h.update((r["text"] or "").encode())
+        h.update(r["lang"].encode())
+    return h.hexdigest()[:12]
+
+
 def synth_pages(spark, n: int, seed: int = 42, partitions: int | None = None,
                 ts_stride_s: int = 137):
     """Distributed pages generator: spark.range → mapInPandas (Arrow).

@@ -137,3 +137,32 @@ def test_torn_manifest_means_uncommitted(spark, tmp_path):
     with open(os.path.join(d, part), "w") as f:
         f.write("{")
     assert log.completed_partitions("s1", "fpA") == set()
+
+
+def test_mid_commit_crash_does_not_duplicate(spark, tmp_path):
+    """Review r4: crash between write_table and the full commit_stage
+    (table complete, SOME part manifests written, no stage commit) —
+    resume must replace the 'missing' days, never append duplicates."""
+    import os
+
+    from indra_db_spark.lineage import LineageLog
+    from indra_db_spark.pipeline import run_pipeline
+    from indra_db_spark.sources.synth import synth_pages
+
+    out = str(tmp_path / "kg")
+    pages = synth_pages(spark, 120, seed=42)
+    r1 = run_pipeline(spark, pages, out, pages_fingerprint="v120")
+    n_raw = r1.tables["raw_statements"].count()
+
+    # simulate the mid-commit crash: drop the stage commit and HALF the
+    # part manifests, leave ALL the data on disk
+    log = LineageLog(out)
+    os.remove(log._stage_path("raw_statements"))
+    d = log._stage_dir("raw_statements")
+    parts = sorted(n for n in os.listdir(d) if n.startswith("part="))
+    for name in parts[: len(parts) // 2]:
+        os.remove(os.path.join(d, name))
+
+    r2 = run_pipeline(spark, pages, out, pages_fingerprint="v120")
+    assert "raw_statements" not in r2.skipped
+    assert r2.tables["raw_statements"].count() == n_raw  # no duplicates

@@ -54,9 +54,12 @@ def main():
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        try:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        except Exception as e:  # missing table: fail only queries that use it
+            print(f"note: view {t} unavailable ({e})", file=sys.stderr)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -96,7 +96,13 @@ def main() -> None:
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    pages_dir = os.path.join(shm, f"kg_scale_pages_{n_pages}")
+    from indra_db_spark.sources.synth import corpus_fingerprint
+
+    # cache keyed by generator CONTENT, not just size: a grammar/renderer
+    # change must regenerate, not silently benchmark stale data
+    pages_dir = os.path.join(
+        shm, f"kg_scale_pages_{n_pages}_{corpus_fingerprint()}"
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         gen_pages(n_pages, pages_dir)
 
@@ -122,8 +128,10 @@ def main() -> None:
         "wall_secs_n": statistics.median(r["wall_secs"] for r in res8),
         "wall_secs_4n": statistics.median(r["wall_secs"] for r in res32),
         "scaling_efficiency_n_to_4n": round(eff, 3),
-        "stages_n": res8[len(res8) // 2]["stages"],
-        "stages_4n": res32[len(res32) // 2]["stages"],
+        # stage table from the run with the MEDIAN wall time (chronological
+        # middle could be any run)
+        "stages_n": sorted(res8, key=lambda r: r["wall_secs"])[len(res8) // 2]["stages"],
+        "stages_4n": sorted(res32, key=lambda r: r["wall_secs"])[len(res32) // 2]["stages"],
     }
     print(json.dumps(summary))
 
