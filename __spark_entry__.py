@@ -637,7 +637,7 @@ _FOLD64 = (
     f"ELSE {_U64}::BIGINT END)"
 )
 
-_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 _SHINGLES_CTE = f"""
 words AS (
@@ -785,8 +785,8 @@ def oracle_sql() -> dict[str, str]:
             WITH feats AS (
                 SELECT doc_id,
                        length(text) AS n_chars,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
                        len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
                        len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
                        len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop
@@ -875,8 +875,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                        ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
                    END AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
                        AS n_bpe_tokens
@@ -886,8 +886,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT doc_id,
                      list_transform(
-                       generate_series(1, greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 8 + 1, 0)),
-                       i -> (CASE WHEN (('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT) >= 9223372036854775808::HUGEINT THEN ((('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT ELSE (('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8)), 9, 8))::BIGINT::HUGEINT)::BIGINT END)
+                       generate_series(1, greatest(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) - 8 + 1, 0)),
+                       i -> (CASE WHEN (('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 9, 8))::BIGINT::HUGEINT) >= 9223372036854775808::HUGEINT THEN ((('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 9, 8))::BIGINT::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT ELSE (('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 1, 8))::BIGINT::HUGEINT * 4294967296 + ('0x' || substr(md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), i, 8)), 9, 8))::BIGINT::HUGEINT)::BIGINT END)
                      ) AS h
               FROM documents
             ),
@@ -910,8 +910,8 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE feats AS (
                 SELECT doc_id, text,
                        length(text) AS n_chars,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                        len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
                        len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
                        len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with|for|on)\b')) AS n_stop,
@@ -940,7 +940,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE quality_score >= 0.75 AND lang_pred = 'en'
             ),
             words AS (
-              SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM kept
+              SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM kept
             ),
             shingles AS (
               SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

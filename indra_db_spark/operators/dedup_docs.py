@@ -23,10 +23,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import fold_md5_64
+from indra_db_spark.functions.textnorm import collapse_ws_expr
 
 
 def _norm_text(text_col: str = "text"):
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return collapse_ws_expr(F.col(text_col))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -159,6 +160,12 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
     of the minhash signature. Returns (doc_a, doc_b, n_bands_shared)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} — "
+            f"the trailing {num_hashes % bands} hashes would be computed "
+            "and silently dropped"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
     banded = sig.select(
@@ -262,18 +269,22 @@ def dedup_clusters(
     """
     from indra_db_spark.operators.components import connected_components
 
+    k = lsh_params.pop("k", 3)
     if method == "jaccard":
-        pairs = jaccard_pairs(df, id_col=id_col, text_col=text_col, threshold=threshold)
+        if lsh_params:
+            raise ValueError(f"jaccard method ignores params {sorted(lsh_params)}")
+        pairs = jaccard_pairs(df, id_col=id_col, text_col=text_col, k=k, threshold=threshold)
     elif method == "minhash_lsh":
-        cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_params)
+        cands = minhash_lsh_candidates(df, id_col, text_col, k=k, **lsh_params)
         # Jaccard residual keeps precision 1, computed ONLY on the LSH
         # candidate pairs (two equi-joins onto per-doc shingle sets +
         # per-row array intersect/union — never the all-pairs
         # shared-shingle join the LSH exists to avoid).
-        k = lsh_params.get("k", 3)
+        # word_shingles renames the id to 'doc_id' — group on that, not
+        # on the caller's id_col (a non-default id_col crashed here)
         sets = (
             word_shingles(df, id_col, text_col, k)
-            .groupBy(id_col)
+            .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("_sh"))
         )
         a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))

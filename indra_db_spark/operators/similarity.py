@@ -30,7 +30,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE every
+    double — an all-zeros embedding (padding row, failed encoder) would
+    otherwise become the rank-1 neighbor of every query. Defined as
+    similarity 0 instead (matches the numpy GEMM path's where=norm>0)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

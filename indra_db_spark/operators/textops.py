@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import fold_md5_64
+from indra_db_spark.functions.textnorm import collapse_ws_expr
 
 # Tiny deterministic stopword lexicons per language (language-ID heuristic).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -30,9 +31,11 @@ BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank."""
-    t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count; 0 for empty/blank. Collapse-then-trim:
+    F.trim strips only ASCII spaces, so '\nfoo bar\n' would otherwise
+    split into ['', 'foo', 'bar', ''] and over-count by 2."""
+    t = collapse_ws_expr(text, lower=False)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -75,27 +78,36 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count stopword hits per language lexicon,
     argmax with deterministic tie-break (hit count desc, lang asc);
-    'und' when nothing matches. Pure expressions — the per-language counts
-    are a fixed small set of regexp_counts, no explode/join."""
+    'und' when nothing matches.
+
+    Staged: the per-language regexp_counts land as real columns in one
+    select, and the argmax is a greatest + chained-when over ATTRIBUTES —
+    putting the counts inside higher-order-function lambdas would rescan
+    the full text once per array element (the interpreted-HOF re-eval
+    trap winnow_fingerprints documents)."""
+    langs = sorted(LANG_STOPWORDS)
     t = F.col(text_col)
-    counts = []
-    for lang, words in sorted(LANG_STOPWORDS.items()):
-        pat = r"(?i)\b(" + "|".join(words) + r")\b"
-        counts.append(F.struct(F.regexp_count(t, F.lit(pat)).alias("hits"), F.lit(lang).alias("lang")))
-    arr = F.array(*counts)
-    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    winners = F.filter(arr, lambda s: s["hits"] == max_hits)
-    win_langs = F.transform(winners, lambda s: s["lang"])
-    lang = F.when(max_hits > 0, F.array_min(win_langs)).otherwise(F.lit("und"))
-    return df.withColumn("lang_pred", lang).withColumn(
-        "lang_hits", max_hits
+    hit_cols = {}
+    staged = df
+    for lang in langs:
+        pat = r"(?i)\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+        hit_cols[lang] = f"_hits_{lang}"
+        staged = staged.withColumn(hit_cols[lang], F.regexp_count(t, F.lit(pat)))
+    mx = F.greatest(*[F.col(c) for c in hit_cols.values()])
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in langs:  # alphabetical order = the 'lang asc' tie-break
+        pred = pred.when(F.col(hit_cols[lang]) == mx, F.lit(lang))
+    return (
+        staged.withColumn("lang_pred", pred)
+        .withColumn("lang_hits", mx)
+        .drop(*hit_cols.values())
     )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text:
     lowercase, collapse whitespace → md5 → signed-64 fold."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = collapse_ws_expr(F.col(text_col))
     return df.withColumn("fp_hash", fold_md5_64(norm)).withColumn(
         "fp_hex", F.substring(F.md5(norm), 1, 16)
     )
@@ -156,9 +168,7 @@ def winnow_fingerprints(
     # stage 1: normalize once per row
     s1 = df.select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
-            "_norm"
-        ),
+        collapse_ws_expr(F.col(text_col)).alias("_norm"),
     )
     norm = F.col("_norm")
     n_g = F.length(norm) - k + 1

@@ -104,7 +104,12 @@ def batch_first_seen(
     df: DataFrame, key_col: str = "fp_hash", ts_col: str = "warc_ts"
 ) -> DataFrame:
     """Batch twin of :func:`streaming_first_seen` — the equivalence oracle
-    (min-(ts,url) row per key via a window; same tiebreak)."""
+    for IN-ORDER feeds (min-(ts,url) row per key via a window; same
+    within-batch tiebreak). Semantics note: the streaming operator emits
+    the first OBSERVED occurrence (append-mode output cannot retract), so
+    when a later micro-batch carries an EARLIER timestamp the two differ:
+    batch keeps the global (ts, url) minimum, streaming keeps the first
+    arrival. Both are deterministic; pick per use case."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc("url"))

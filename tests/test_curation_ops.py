@@ -507,3 +507,40 @@ def test_curate_corpus_recipe(spark):
     # survivors keep original columns + the two gate columns
     cols = set(out.columns)
     assert {"doc_id", "text", "quality_score", "lang_pred"} <= cols
+
+
+def test_edge_whitespace_normalization(spark):
+    """Review r5: tabs/newlines at the edges are crawl artifacts — the
+    same content must fingerprint identically, shingle identically, and
+    token-count identically regardless of them."""
+    from indra_db_spark.operators.dedup_docs import exact_duplicates, word_shingles
+    from indra_db_spark.operators.textops import fingerprint, ws_token_count
+
+    rows = [(1, "foo bar baz qux"), (2, "\nfoo  bar\tbaz qux\n"), (3, "\t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp_hash"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    dups = exact_duplicates(df).collect()
+    assert len(dups) == 1 and sorted(dups[0]["doc_ids"]) == [1, 2]
+    sh = word_shingles(df).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in sh}
+    assert counts.get(1) == counts.get(2) == 2  # 4 words -> 2 tri-shingles
+    toks = df.select("doc_id", ws_token_count(F.col("text")).alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in toks}
+    assert got == {1: 4, 2: 4, 3: 0}
+
+
+def test_cosine_zero_vector_not_top_ranked(spark):
+    """Review r5: an all-zeros embedding must rank LAST (similarity 0),
+    not first (NaN sorts above every double in Spark)."""
+    from indra_db_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1       # real nearest neighbor
+    assert ranked[-1] == 2      # zero vector last, cos_sim 0
+    assert all(r["cos_sim"] == 0.0 for r in out if r["neighbor_id"] == 2)
