@@ -448,9 +448,15 @@ def _q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pipeline-specific (rows-only where SQL can't express) -----------------
 
 
+_KG_N_PAGES = 500
+
+
 def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full KG pipeline over a synthesized pages corpus
-    (deterministic), returning agent_interactions."""
+    """Full KG pipeline over a synthesized pages corpus (deterministic),
+    returning agent_interactions at the CANONICAL pair grain (Complex
+    member pairs sorted) — representative-order-free, so the pure-Python
+    twin (:func:`_kg_twin`) can enumerate the exact expected rows and the
+    driver hash-checks them via a VALUES oracle."""
     from indra_db_spark.operators.dedup import build_pa_statements
     from indra_db_spark.operators.distill import distill
     from indra_db_spark.operators.extract import extract_statements
@@ -460,11 +466,28 @@ def _q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.sources.synth import source_expr as synth_source_expr
     from indra_db_spark.sources.synth import synth_pages
 
-    pages = synth_pages(spark, 500, seed=42)
+    pages = synth_pages(spark, _KG_N_PAGES, seed=42)
     raw = ground_statements(extract_statements(pages), dims.grounding_map_df(spark),
                             source_expr=synth_source_expr)
     pa = build_pa_statements(distill(raw)).withColumn("belief", F.lit(0.0))
-    return build_agent_interactions(pa).orderBy("subj_key", "obj_key", "type")
+    inter = build_agent_interactions(pa)
+    is_cplx = F.col("type") == "Complex"
+    canon = inter.select(
+        F.when(is_cplx, F.least("subj_key", "obj_key"))
+        .otherwise(F.col("subj_key")).alias("subj_key"),
+        F.when(is_cplx, F.greatest("subj_key", "obj_key"))
+        .otherwise(F.col("obj_key")).alias("obj_key"),
+        "type", "n_statements", "total_ev", "max_belief",
+    )
+    return (
+        canon.groupBy("subj_key", "obj_key", "type")
+        .agg(
+            F.sum("n_statements").alias("n_statements"),
+            F.sum("total_ev").alias("total_ev"),
+            F.max("max_belief").alias("max_belief"),
+        )
+        .orderBy("subj_key", "obj_key", "type")
+    )
 
 
 def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,12 +636,181 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": _q_docs_dup_clusters,
         "docs_curated": _q_docs_curated,
         "embeddings_ivf_ann": _q_ivf_ann,
-        # rows-only (non-SQL-expressible: the full iterative pipeline over
-        # synthesized pages, and the stubbed media codec)
+        # kg_*: full pipeline over the deterministic synthesized corpus,
+        # hash-checked against pure-Python-twin VALUES oracles (r3 — the
+        # iterative CC itself isn't SQL, but its expected OUTPUT is
+        # enumerable driver-side, so the pair is exact)
         "kg_pipeline_interactions": _q_kg_pipeline,
         "kg_component_sizes": _q_kg_components,
+        # rows-only (stubbed media codec — env-blocked)
         "multimodal_features": _q_multimodal,
     }
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python KG twin → VALUES oracles
+#
+# The kg_* queries run over the DETERMINISTIC synthesized corpus (500
+# pages, seed 42 — identical at every sf), so their exact expected output
+# is enumerable driver-side from the pure-Python twin
+# (sources/synth.py::reference_statements + a Python mirror of the
+# refinement/CC semantics, never touching Spark). oracle_sql() embeds the
+# expectation as a VALUES relation, upgrading both checks from rows-only
+# to full hash-checked pairs.
+
+
+def _kg_twin():
+    """(interactions, component_hist) expected for the 500-page corpus.
+
+    interactions: {(subj_key, obj_key, type): (n_statements, total_ev)}
+    at the canonical pair grain (Complex members sorted).
+    component_hist: {n_members: n_components} over refinement-graph CC.
+    """
+    from indra_db_spark.functions.hashing import fold_md5_64_py
+    from indra_db_spark.sources.dims import isa_closure
+    from indra_db_spark.sources.synth import reference_statements
+
+    stmts = reference_statements(_KG_N_PAGES, seed=42)
+    # distill semantics: distinct (url, matches_key, source, evidence_text)
+    uniq = {
+        (e["url"], e["matches_key"], e["source"], e["evidence_text"])
+        for e in stmts
+    }
+    ev_count: dict[int, int] = {}
+    for _, mk, _, _ in uniq:
+        h = fold_md5_64_py(mk)
+        ev_count[h] = ev_count.get(h, 0) + 1
+    pa: dict[int, dict] = {}
+    for e in stmts:
+        pa[fold_md5_64_py(e["matches_key"])] = e
+
+    # ---- agent_interactions at the canonical entity-pair grain
+    inter: dict[tuple, list] = {}
+    for h, e in pa.items():
+        k1, k2 = e["subj_entity_key"], e["obj_entity_key"]
+        if e["type"] == "Complex":
+            k1, k2 = sorted([k1, k2])
+        key = (k1, k2, e["type"])
+        cur = inter.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += ev_count[h]
+
+    # ---- refinement edges (mirror of operators/refine.py semantics)
+    anc_map: dict[str, set] = {}
+    for c, p in isa_closure():
+        anc_map.setdefault(c, set()).add(p)
+    ancs = lambda k: {k} | anc_map.get(k, set())
+
+    def cond_sig(e):
+        # canonical condition suffix (muts + activity + bounds) per agent;
+        # synth puts conditions on subjects only, objects are bare
+        mk = "".join(sorted(f";mut={f}:{p}:{t}" for (f, p, t) in e["muts"]))
+        ak = (
+            f";act={e['activity'][0]}:{str(e['activity'][1]).lower()}"
+            if e["activity"] else ""
+        )
+        bk = "".join(
+            sorted(f";bound={k}:{str(b).lower()}" for (k, b) in e["bounds"])
+        )
+        return mk + ak + bk
+
+    def cond_refines(g, s):
+        # general's muts ⊆ specific's, activity unset-or-equal, bounds ⊆
+        if not set(map(tuple, g["muts"])) <= set(map(tuple, s["muts"])):
+            return False
+        if g["activity"] is not None and g["activity"] != s["activity"]:
+            return False
+        return set(g["bounds"]) <= set(s["bounds"])
+
+    idx: dict[tuple, list] = {}
+    for h, e in pa.items():
+        k1, k2 = e["subj_entity_key"], e["obj_entity_key"]
+        if e["type"] == "Complex":
+            k1, k2 = sorted([k1, k2])
+        idx.setdefault((e["type"], k1, k2), []).append(h)
+
+    edges = set()
+    for h, e in pa.items():
+        k1, k2 = e["subj_entity_key"], e["obj_entity_key"]
+        gen_pairs = set()
+        for g1 in ancs(k1):
+            for g2 in ancs(k2):
+                if e["type"] == "Complex":
+                    j1, j2 = sorted([g1, g2])
+                else:
+                    j1, j2 = g1, g2
+                gen_pairs.add((j1, j2))
+        for j1, j2 in gen_pairs:
+            for hg in idx.get((e["type"], j1, j2), ()):
+                if hg == h:
+                    continue
+                g = pa[hg]
+                if not (
+                    {tuple(m) for m in g["mods"]} <= {tuple(m) for m in e["mods"]}
+                ):
+                    continue
+                if e["type"] == "Complex":
+                    # conservative Complex rule: condition multisets equal
+                    # (objects are bare in synth → subject suffixes only)
+                    if sorted([cond_sig(g), ""]) != sorted([cond_sig(e), ""]):
+                        continue
+                else:
+                    if not cond_refines(g, e):
+                        continue
+                edges.add((hg, h))  # (supported=general, supporting=specific)
+
+    # ---- connected components over pa ∪ edges (union-find)
+    parent = {h: h for h in pa}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[int, int] = {}
+    for h in pa:
+        r = find(h)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist: dict[int, int] = {}
+    for n in sizes.values():
+        hist[n] = hist.get(n, 0) + 1
+    return inter, hist
+
+
+def _kg_interactions_oracle() -> str:
+    inter, _ = _kg_twin()
+    rows = ",\n".join(
+        f"('{s}', '{o}', '{t}', {n}, {te})"
+        for (s, o, t), (n, te) in sorted(inter.items())
+    )
+    return f"""
+        SELECT subj_key, obj_key, type,
+               CAST(n AS BIGINT) AS n_statements,
+               CAST(te AS BIGINT) AS total_ev,
+               CAST(0.0 AS DOUBLE) AS max_belief
+        FROM (VALUES
+{rows}
+        ) AS t(subj_key, obj_key, type, n, te)
+        ORDER BY subj_key, obj_key, type
+    """
+
+
+def _kg_components_oracle() -> str:
+    _, hist = _kg_twin()
+    rows = ",\n".join(f"({n}, {c})" for n, c in sorted(hist.items()))
+    return f"""
+        SELECT CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_components AS BIGINT) AS n_components
+        FROM (VALUES
+{rows}
+        ) AS t(n_members, n_components)
+        ORDER BY n_members
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1040,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": _simhash_oracle_sql(bits=16),
         "docs_minhash_lsh": _minhash_oracle_sql(num_hashes=16, bands=4),
         "embeddings_lsh_ann": _lsh_ann_oracle_sql(k=3, dim=64, n_planes=6),
+        # KG pipeline twins: exact expected rows enumerated by the
+        # pure-Python twin over the deterministic 500-page corpus
+        # (VALUES relation) — upgrades the two former rows-only checks
+        # to full hash-checked pairs.
+        "kg_pipeline_interactions": _kg_interactions_oracle(),
+        "kg_component_sizes": _kg_components_oracle(),
     }
 
 

@@ -45,6 +45,7 @@ HEADLINE = [
     "langid_confusion",
     "docs_token_counts",
     "docs_winnow",
+    "docs_winnow_prod",
     "docs_dup_clusters",
     "docs_curated",
 ]
@@ -80,6 +81,7 @@ def main() -> None:
         minhash_lsh_candidates,
         simhash,
     )
+    from indra_db_spark.operators.textops import winnow_fingerprints
 
     def _minhash_prod(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -89,13 +91,24 @@ def main() -> None:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return simhash(d, bits=64, hash_fn="xxhash64")
 
+    def _winnow_prod(spark, sf_dir):
+        # the deployed path: xxhash64 gram hashes (~10× cheaper than the
+        # md5 oracle family 'docs_winnow' mirrors) — bench BOTH so the
+        # headline reflects the engine, not the oracle-mirror cost
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return winnow_fingerprints(d, k=8, w=4, hash_fn="xxhash64").select(
+            "doc_id", "n_fps", "min_fp", "max_fp"
+        )
+
     prod_overrides = {
         "docs_minhash_lsh": _minhash_prod,
         "docs_simhash": _simhash_prod,
+        "docs_winnow_prod": _winnow_prod,
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = prod_overrides.get(name, qs[name])(spark, sf_dir)
+        fn = prod_overrides[name] if name in prod_overrides else qs[name]
+        df = fn(spark, sf_dir)
         _force(df)  # warm: plan + scan caches
         t0 = time.time()
         _force(df)

@@ -52,6 +52,11 @@ from indra_db_spark.plans.query import (
 
 _RESULT_PARAMS = {"limit", "offset", "ev_limit", "sort_by", "after"}
 
+# Orderable result columns ([P] rest_api accepts sort_by ∈ {ev_count,
+# belief}); anything else must fail at parse time as a ValueError, not
+# surface as an AnalysisException from deep inside get_statements.
+_SORTABLE = {"ev_count", "belief"}
+
 
 def _parse_entity(spec: str, role: str | None) -> Query:
     neg = spec.endswith("!")
@@ -146,16 +151,60 @@ def _parse_after(v: Any) -> tuple:
     return (sort_v, int(parts[1]))
 
 
+def load_context(
+    spark,
+    out_dir: str,
+    bucketed: bool = False,
+    buckets: int = 16,
+) -> QueryContext:
+    """Pipeline output dir → serving ``QueryContext``.
+
+    ``bucketed=True`` re-registers pa_statements and evidence as
+    mk_hash-bucketed session-catalog tables (the Iceberg
+    ``bucket(N, mk_hash)`` analog, via storage.write_bucketed_table) —
+    the analog of the reference's pg_restore-into-the-serving-instance
+    swap ([P] cli/dump.py): one materialization per corpus publish, after
+    which EVERY serving query's mk_hash machinery (evidence hydration
+    join, ev_limit window, the evidences groupBy) reads pre-clustered
+    buckets with no Exchange (asserted in tests/test_bucketing.py).
+
+    The pipeline itself stays on the directory-partitioned shim: its own
+    stages join on generalized agent keys (refine) or aggregate on
+    (mk_hash, source) grains that bucketing alone cannot satisfy, and the
+    write_bucketed_table form has no manifest/resume integration — the
+    rationale recorded against VERDICT r2 #7.
+    """
+    from indra_db_spark.sources import storage
+
+    pa = storage.read_table(spark, f"{out_dir}/pa_statements").drop("bucket")
+    ev = storage.read_table(spark, f"{out_dir}/evidence")
+    if bucketed:
+        storage.write_bucketed_table(
+            pa, "pa_statements_srv", buckets, "mk_hash", path=f"{out_dir}/_srv/pa"
+        )
+        storage.write_bucketed_table(
+            ev, "evidence_srv", buckets, "mk_hash", path=f"{out_dir}/_srv/ev"
+        )
+        pa = spark.table("pa_statements_srv")
+        ev = spark.table("evidence_srv")
+    return QueryContext(pa_statements=pa, evidence=ev)
+
+
 def run_query(params: dict[str, Any], ctx: QueryContext) -> DataFrame:
     """One-call serving path: parse params, execute, hydrate.
 
     Result controls pass through to ``Query.get_statements`` (ev_limit
     truncation, sort, keyset/offset pagination)."""
     q = parse_query(params)
+    sort_by = str(params.get("sort_by", "ev_count"))
+    if sort_by not in _SORTABLE:
+        raise ValueError(
+            f"sort_by must be one of {sorted(_SORTABLE)}, got {sort_by!r}"
+        )
     return q.get_statements(
         ctx,
         ev_limit=int(params["ev_limit"]) if "ev_limit" in params else None,
-        sort_by=str(params.get("sort_by", "ev_count")),
+        sort_by=sort_by,
         limit=int(params["limit"]) if "limit" in params else None,
         offset=int(params["offset"]) if "offset" in params else None,
         after=_parse_after(params["after"]) if "after" in params else None,

@@ -84,6 +84,27 @@ def agent_activity_key_expr(activity: Column) -> Column:
     )
 
 
+def agent_bounds_key_expr(bounds: Column) -> Column:
+    """Sorted ``;bound=<ns>:<id>:<true|false>`` entries, '' if none — the
+    BoundCondition part of Agent.matches_key (indra folds each bound
+    condition's agent matches_key + is_bound into the carrier agent's
+    key; sorting makes listing order irrelevant)."""
+    entries = F.transform(
+        bounds,
+        lambda b: F.concat(
+            F.lit(";bound="),
+            F.coalesce(b["db_ns"], F.lit("")),
+            F.lit(":"),
+            F.coalesce(b["db_id"], F.lit("")),
+            F.lit(":"),
+            F.coalesce(b["is_bound"].cast("string"), F.lit("")),
+        ),
+    )
+    return F.when(bounds.isNull() | (F.size(bounds) == 0), F.lit("")).otherwise(
+        F.concat_ws("", F.array_sort(entries))
+    )
+
+
 def agent_key_expr(agent: Column) -> Column:
     """Canonical agent key: ``db_ns:db_id[;mut=…][;act=…]`` — the agent
     struct carries a ``TEXT`` fallback namespace for ungrounded mentions,
@@ -95,10 +116,14 @@ def agent_key_expr(agent: Column) -> Column:
     """
     muts_part = agent_muts_key_expr(agent["muts"])
     act_part = agent_activity_key_expr(agent["activity"])
+    bounds_part = agent_bounds_key_expr(agent["bounds"])
     return F.when(
         agent.isNotNull(),
         F.concat(
-            F.concat_ws(":", agent["db_ns"], agent["db_id"]), muts_part, act_part
+            F.concat_ws(":", agent["db_ns"], agent["db_id"]),
+            muts_part,
+            act_part,
+            bounds_part,
         ),
     )
 
@@ -107,14 +132,19 @@ def agent_key_py(
     entity_key: str,
     muts: list[tuple[str, str, str]] | None = None,
     activity: tuple[str, bool] | None = None,
+    bounds: list[tuple[str, bool]] | None = None,
 ) -> str:
     """Python twin of :func:`agent_key_expr`; ``muts`` entries are
-    (residue_from, position, residue_to)."""
+    (residue_from, position, residue_to); ``bounds`` entries are
+    (bound_entity_key 'ns:id', is_bound)."""
     mk = "".join(sorted(f";mut={f}:{p}:{t}" for (f, p, t) in (muts or [])))
     ak = (
         f";act={activity[0]}:{str(activity[1]).lower()}" if activity else ""
     )
-    return f"{entity_key}{mk}{ak}"
+    bk = "".join(
+        sorted(f";bound={k}:{str(b).lower()}" for (k, b) in (bounds or []))
+    )
+    return f"{entity_key}{mk}{ak}{bk}"
 
 
 def mods_key_expr(mods: Column) -> Column:

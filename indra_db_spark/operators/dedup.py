@@ -78,6 +78,7 @@ def build_pa_statements(raw: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
         a["name"].alias("name"),
         a["muts"].alias("muts"),
         a["activity"].alias("activity"),
+        a["bounds"].alias("bounds"),
     )
     agent_key = lambda a: F.concat_ws(":", a["db_ns"], a["db_id"])
     return (
@@ -99,7 +100,17 @@ def build_pa_statements(raw: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
 
 def build_evidence(raw: DataFrame) -> DataFrame:
     """``evidence`` = raw→pa linkage with payload (raw_unique_links +
-    fast_raw_pa_link analog, readonly_schema.py::FastRawPaLink)."""
+    fast_raw_pa_link analog, readonly_schema.py::FastRawPaLink).
+
+    Carries ``day`` (the days(warc_ts) Iceberg partition transform,
+    SURVEY §8.1) so the table lands day-partitioned and the incremental
+    supplement can rewrite only the partitions holding affected rows."""
     return raw.select(
-        "mk_hash", "raw_id", "url", "source", "evidence_text", "source_hash"
+        "mk_hash",
+        "raw_id",
+        "url",
+        "source",
+        "evidence_text",
+        "source_hash",
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day"),
     )

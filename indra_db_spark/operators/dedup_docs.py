@@ -56,18 +56,27 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     exact_duplicates / distill operators) rather than paying a global
     .distinct() shuffle here on every call."""
     words = F.split(_norm_text(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
-    )
     # array_distinct BEFORE the explode already makes (doc_id, shingle)
     # unique — a global .distinct() here would be a redundant full shuffle
     # of the widest intermediate in the whole dedup family.
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(sh)).alias("shingle"),
-    ).where(F.size(F.split(F.col("shingle"), " ")) == k)  # short docs: drop partials
+    # Docs shorter than k words would emit one partial slice — gate on the
+    # pre-explode word count instead of re-splitting every exploded shingle
+    # (the post-explode re-split cost O(shingles) string splits per scan).
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+        .where(F.size(F.col("_words")) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(F.col("_words")) - k),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, k)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
 
 
 def jaccard_pairs(
@@ -88,8 +97,15 @@ def jaccard_pairs(
     within a doc stay distinct under the hash except with probability
     ~n²/2⁻⁶⁴ (immaterial; the LSH variant is the at-scale path anyway).
     """
-    sh = word_shingles(df, id_col, text_col, k).select(
-        "doc_id", F.xxhash64("shingle").alias("sh_h")
+    # Materialize ONE exchange on sh_h that all three consumers (both
+    # self-join sides and the per-doc size agg) read back via
+    # ReusedExchange — without it the scan + normalize + shingle-explode
+    # recomputes once per consumer (the r2 bench regression). The join on
+    # sh_h then needs no further shuffle on either side.
+    sh = (
+        word_shingles(df, id_col, text_col, k)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .repartition("sh_h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
@@ -287,8 +303,8 @@ def dedup_clusters(
             .groupBy("doc_id")
             .agg(F.collect_set("shingle").alias("_sh"))
         )
-        a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
-        b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+        a = sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+        b = sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
         scored = (
             cands.select("doc_a", "doc_b")
             .join(a, "doc_a")

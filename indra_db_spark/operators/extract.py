@@ -55,6 +55,10 @@ _EXTRACTED = T.StructType(
         T.StructField("subj_mut_pos", T.StringType()),
         T.StructField("subj_mut_to", T.StringType()),
         T.StructField("subj_act", T.StringType()),
+        # BoundCondition (indra.statements.BoundCondition analog;
+        # grammar: "<A> [not] bound to <X> <trigger> <B>")
+        T.StructField("subj_bound_text", T.StringType()),
+        T.StructField("subj_bound_neg", T.BooleanType()),
         T.StructField("sent_idx", T.IntegerType()),
         T.StructField("start", T.IntegerType()),
         T.StructField("end", T.IntegerType()),
@@ -88,16 +92,27 @@ def _pattern(lexicon: list[str]) -> re.Pattern:
     # this consistent with extract_mentions' \b-wrapped entity scan: an
     # entity that is a strict prefix of a longer corpus token must not
     # match mid-token (e.g. lexicon "RAS" inside "RASPBERRY").
+    # The optional "[not] bound to <X>" phrase between subject and trigger
+    # is the BoundCondition qualifier — mid-pattern optional groups keep
+    # the leading literal alternation (the fast-scan anchor) intact.
+    # Groups: 1=subj 2=not-flag 3=bound-entity 4=trigger 5=obj
+    #         6=residue 7=position.
     return re.compile(
-        rf"\b({ents})\s+({trig})\s+({ents})\b(?:\s+on\s+([A-Z])(\d+)\b)?"
+        rf"\b({ents})(?:\s+(not\s+)?bound\s+to\s+({ents})\b)?"
+        rf"\s+({trig})\s+({ents})\b(?:\s+on\s+([A-Z])(\d+)\b)?"
     )
 
 
 # Subject qualifiers — "<FROM><POS><TO> mutant" (MutCondition) and
 # "active|inactive" (ActivityCondition) — matched by an $-anchored
 # LOOKBACK at the text immediately before the core match (always
-# succeeds; groups are None when no qualifier precedes).
-_QUAL = re.compile(r"(?:\b([A-Z])(\d+)([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?$")
+# succeeds; groups are None when no qualifier precedes). The mutation
+# position is bounded to 5 digits so the grammar's longest qualifier
+# ("X99999Y mutant inactive " = 24 chars) provably fits the 32-char
+# lookback window below — an unbounded \d+ could exceed the window and
+# silently truncate the qualifier mid-number (protein sequence positions
+# are < 40k residues, so 5 digits is not a real-world restriction).
+_QUAL = re.compile(r"(?:\b([A-Z])(\d{1,5})([A-Z])\s+mutant\s+)?(?:\b(active|inactive)\s+)?$")
 
 
 def _resolve_text(pdf: pd.DataFrame) -> pd.Series:
@@ -174,15 +189,19 @@ def extract_statements(
                                 url,
                                 EXTRACTOR_NAME,
                                 extractor_version,
-                                LX.TRIGGERS[m.group(2)],
+                                LX.TRIGGERS[m.group(4)],
                                 m.group(1),   # subj
-                                m.group(3),   # obj
-                                m.group(4),   # residue
-                                m.group(5),   # position
+                                m.group(5),   # obj
+                                m.group(6),   # residue
+                                m.group(7),   # position
                                 q.group(1),   # subj_mut_from
                                 q.group(2),   # subj_mut_pos
                                 q.group(3),   # subj_mut_to
                                 q.group(4),   # subj_act
+                                m.group(3),   # subj_bound_text
+                                (m.group(2) is not None)
+                                if m.group(3) is not None
+                                else None,    # subj_bound_neg
                                 sent_idx,
                                 m.start(),
                                 m.end(),

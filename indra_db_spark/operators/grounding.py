@@ -57,17 +57,25 @@ def resolve_grounding_map(grounding_map: DataFrame) -> DataFrame:
 
 _MUTS_DDL = "array<struct<position:string,residue_from:string,residue_to:string>>"
 _ACT_DDL = "struct<activity_type:string,is_active:boolean>"
+_BOUNDS_DDL = "array<struct<db_ns:string,db_id:string,name:string,is_bound:boolean>>"
 
 
 def _agent_conditions(side: str):
-    """(muts, activity) condition columns for one agent side.
+    """(muts, activity, bounds) condition columns for one agent side.
 
     The grammar emits subject-side qualifiers only (flat subj_mut_* /
-    subj_act columns from extract.py); other sides get empty/null
-    conditions. Analog of principal_schema.py::RawMuts / PaActivity rows.
+    subj_act / subj_bound_* columns from extract.py); other sides get
+    empty/null conditions. Analog of principal_schema.py::RawMuts /
+    PaActivity / the BoundCondition entries of the raw agent model.
+    ``bounds`` references the ``_bound_*`` columns the bound-text
+    grounding join (in :func:`ground_statements`) must provide first.
     """
     if side != "subj":
-        return F.array().cast(_MUTS_DDL), F.lit(None).cast(_ACT_DDL)
+        return (
+            F.array().cast(_MUTS_DDL),
+            F.lit(None).cast(_ACT_DDL),
+            F.array().cast(_BOUNDS_DDL),
+        )
     muts = F.when(
         F.col("subj_mut_pos").isNotNull(),
         F.array(
@@ -85,7 +93,33 @@ def _agent_conditions(side: str):
             (F.col("subj_act") == "active").alias("is_active"),
         ),
     ).otherwise(F.lit(None).cast(_ACT_DDL))
-    return muts, act
+    bounds = F.when(
+        F.col("subj_bound_text").isNotNull(),
+        F.array(
+            F.struct(
+                F.coalesce(F.col("_bound_ns"), F.lit("TEXT")).alias("db_ns"),
+                F.coalesce(F.col("_bound_id"), F.col("_bound_norm")).alias("db_id"),
+                F.coalesce(F.col("_bound_name"), F.col("subj_bound_text")).alias("name"),
+                (~F.coalesce(F.col("subj_bound_neg"), F.lit(False))).alias("is_bound"),
+            )
+        ),
+    ).otherwise(F.array().cast(_BOUNDS_DDL))
+    return muts, act, bounds
+
+
+def _ground_bound_text(df: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Ground the subject's bound-condition entity text (one more
+    broadcast join against the same resolved map the agent sides use)."""
+    df = df.withColumn(
+        "_bound_norm", normalize_text_expr(F.col("subj_bound_text"))
+    )
+    g = resolved.select(
+        F.col("text_norm").alias("_bound_norm"),
+        F.col("db_ns").alias("_bound_ns"),
+        F.col("db_id").alias("_bound_id"),
+        F.col("name").alias("_bound_name"),
+    )
+    return df.join(F.broadcast(g), "_bound_norm", "left")
 
 
 def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
@@ -98,7 +132,7 @@ def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
         F.col("name").alias(f"_{side}_name"),
     )
     df = df.join(F.broadcast(g), f"_{side}_norm", "left")
-    muts, act = _agent_conditions(side)
+    muts, act, bounds = _agent_conditions(side)
     agent = F.struct(
         F.col(f"{side}_text").alias("text"),
         F.coalesce(F.col(f"_{side}_ns"), F.lit("TEXT")).alias("db_ns"),
@@ -106,6 +140,7 @@ def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
         F.coalesce(F.col(f"_{side}_name"), F.col(f"{side}_text")).alias("name"),
         muts.alias("muts"),
         act.alias("activity"),
+        bounds.alias("bounds"),
     )
     return df.withColumn(side, agent).drop(
         f"_{side}_norm", f"_{side}_ns", f"_{side}_id", f"_{side}_name"
@@ -142,8 +177,12 @@ def ground_statements(
     # grounding each build a broadcast from it, and without materialization
     # each broadcast re-runs the resolution window job.
     resolved = resolve_grounding_map(grounding_map).repartition(1).localCheckpoint()
-    df = _ground_side(extracted, resolved, "subj")
+    # Bound-condition entity grounding must precede the subj struct build
+    # (the bounds array reads the _bound_* columns).
+    df = _ground_bound_text(extracted, resolved)
+    df = _ground_side(df, resolved, "subj")
     df = _ground_side(df, resolved, "obj")
+    df = df.drop("_bound_norm", "_bound_ns", "_bound_id", "_bound_name")
 
     mods = F.when(
         F.col("residue").isNotNull(),

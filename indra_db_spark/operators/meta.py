@@ -83,7 +83,11 @@ def export_sif(pa_statements: DataFrame, path: str) -> None:
 def build_topic_ref_counts(page_topics: DataFrame, evidence: DataFrame) -> DataFrame:
     """Mesh*RefCounts analog (readonly_schema.py::MeshTermRefCounts):
     per topic, distinct annotated pages and distinct statements with
-    evidence on them; ``topic_num`` strips the prefix (mesh_num analog, G7)."""
+    evidence on them; ``topic_num`` strips the prefix (mesh_num analog, G7)
+    and ``topic_kind`` keeps it ('T' term vs 'C' concept — the reference
+    likewise splits mesh_term_* from mesh_concept_* tables, so the numeric
+    id alone is ambiguous across kinds and must never be a join key
+    without the kind)."""
     joined = page_topics.join(evidence.select("url", "mk_hash"), "url")
     return (
         joined.groupBy("topic_id")
@@ -94,6 +98,7 @@ def build_topic_ref_counts(page_topics: DataFrame, evidence: DataFrame) -> DataF
         .withColumn(
             "topic_num", F.regexp_extract("topic_id", r"[TC](\d+)", 1).cast("int")
         )
+        .withColumn("topic_kind", F.substring("topic_id", 1, 1))
     )
 
 

@@ -28,29 +28,36 @@ from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import (
     agent_activity_key_expr,
+    agent_bounds_key_expr,
     agent_muts_key_expr,
 )
 
 
 def _cond_key(agent: Column) -> Column:
-    """Canonical condition suffix of one agent (muts + activity)."""
+    """Canonical condition suffix of one agent (muts + activity + bounds)."""
     return F.concat(
         agent_muts_key_expr(agent["muts"]),
         agent_activity_key_expr(agent["activity"]),
+        agent_bounds_key_expr(agent["bounds"]),
     )
 
 
 def _cond_refines(general: Column, specific: Column) -> Column:
     """Agent-condition refinement residual (Agent.refinement_of analog):
-    the general agent's mutations ⊆ the specific's, and its activity is
-    unset or equal."""
+    the general agent's mutations ⊆ the specific's, its activity is
+    unset or equal, and its bound conditions ⊆ the specific's (a
+    bare agent is supported by its bound form, BoundCondition
+    refinement semantics)."""
     muts_ok = F.forall(
         general["muts"], lambda m: F.array_contains(specific["muts"], m)
     )
     act_ok = general["activity"].isNull() | (
         general["activity"] == specific["activity"]
     )
-    return muts_ok & act_ok
+    bounds_ok = F.forall(
+        general["bounds"], lambda b: F.array_contains(specific["bounds"], b)
+    )
+    return muts_ok & act_ok & bounds_ok
 
 
 def _pair_keys(df: DataFrame) -> DataFrame:

@@ -223,7 +223,11 @@ def run_pipeline(
         build_pa,
         [
             ("pa_statements_base", "pa", ["bucket"], ["mk_hash"]),
-            ("evidence", "ev", None, ["mk_hash"]),
+            # evidence is day-partitioned (SURVEY §8.1 days(warc_ts)):
+            # time-scoped serving reads prune whole crawl days, and the
+            # incremental supplement rewrites only affected partitions
+            # instead of the whole table.
+            ("evidence", "ev", ["day"], ["mk_hash"]),
         ],
     )
     pa_base = res.tables["pa_statements_base"]

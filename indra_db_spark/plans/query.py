@@ -272,6 +272,14 @@ class HasAgent(Query):
     agent_num: int | None = None
 
     def hashes(self, ctx: QueryContext) -> DataFrame:
+        if self.agent_num is not None and self.agent_num not in (0, 1):
+            # the engine's statement model is strictly binary (subj/obj;
+            # schemas.py two-agent invariant) — an out-of-range agent_num
+            # is a caller error, not an empty result
+            raise ValueError(
+                f"agent_num must be 0 (SUBJECT) or 1 (OBJECT) in the "
+                f"binary statement model, got {self.agent_num}"
+            )
         ag = ctx.agents()
         cond = F.lit(True)
         if self.name is not None:
@@ -488,8 +496,12 @@ class Union(Query):
 
     def hashes(self, ctx: QueryContext) -> DataFrame:
         if not self.queries:
-            # empty union = EmptyQuery (nothing matches)
-            return EmptyQuery().hashes(ctx)
+            # The empty disjunction is the EMPTY SET — the dual of
+            # Intersection([]) == everything. (r2 returned
+            # EmptyQuery().hashes(), i.e. everything, contradicting its
+            # own comment; fixed per the De Morgan duality
+            # ~Union([]) == Intersection([]).)
+            return ctx.pa_statements.select("mk_hash").limit(0)
         out = self.queries[0].hashes(ctx)
         for q in self.queries[1:]:
             out = out.unionByName(q.hashes(ctx))

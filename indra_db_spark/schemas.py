@@ -45,9 +45,31 @@ ACTIVITY = T.StructType(
     ]
 )
 
+# BoundCondition analog (indra.statements.BoundCondition — a bound Agent
+# plus is_bound; the principal raw/pa agent model carries bound
+# conditions alongside mods/muts/activity). The bound agent is flattened
+# to its grounding triple — the engine has no recursive agent structs.
+BOUND = T.StructType(
+    [
+        T.StructField("db_ns", T.StringType(), True),
+        T.StructField("db_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("is_bound", T.BooleanType(), True),
+    ]
+)
+
 # Agent struct pre-grounding (mention text only) and post-grounding.
-# Mutation/activity conditions ride on the agent and feed matches_key —
-# two statements differing only by a mutation must get distinct mk_hash.
+# Mutation/activity/bound conditions ride on the agent and feed
+# matches_key — two statements differing only by a condition must get
+# distinct mk_hash.
+#
+# TWO-AGENT INVARIANT: this engine's statement model is strictly binary —
+# subj/obj structs, ag_num ∈ {0, 1} everywhere (name_meta, HasAgent,
+# role-by-position G11). The reference's >2-member Complexes
+# ([P] query.py::HasAgent(agent_num)) would need an agents ARRAY here;
+# the §8.4 grammar only ever emits pairs, so the binary model is exact
+# for every statement this engine produces. HasAgent validates agent_num
+# against this invariant rather than silently returning empty.
 RAW_AGENT = T.StructType(
     [
         T.StructField("text", T.StringType(), True),
@@ -56,6 +78,7 @@ RAW_AGENT = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("muts", T.ArrayType(MUT), True),
         T.StructField("activity", ACTIVITY, True),
+        T.StructField("bounds", T.ArrayType(BOUND), True),
     ]
 )
 
@@ -66,6 +89,7 @@ PA_AGENT = T.StructType(
         T.StructField("name", T.StringType(), True),
         T.StructField("muts", T.ArrayType(MUT), True),
         T.StructField("activity", ACTIVITY, True),
+        T.StructField("bounds", T.ArrayType(BOUND), True),
     ]
 )
 
@@ -141,7 +165,10 @@ PA_LINK = T.StructType(
 )
 
 # evidence analog of readonly fast_raw_pa_link + raw_unique_links: raw→pa
-# linkage with the evidence payload.
+# linkage with the evidence payload. ``day`` is the days(warc_ts)
+# partition transform (SURVEY §8.1) carried as a physical column by the
+# parquet shim — the table lands day-partitioned so time-scoped reads
+# prune and the incremental supplement rewrites only affected days.
 EVIDENCE = T.StructType(
     [
         T.StructField("mk_hash", T.LongType(), False),
@@ -150,6 +177,7 @@ EVIDENCE = T.StructType(
         T.StructField("source", T.StringType(), True),
         T.StructField("evidence_text", T.StringType(), True),
         T.StructField("source_hash", T.LongType(), True),
+        T.StructField("day", T.StringType(), True),
     ]
 )
 

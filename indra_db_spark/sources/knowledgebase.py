@@ -52,6 +52,9 @@ def load_knowledgebase(
         "array<struct<position:string,residue_from:string,residue_to:string>>"
     )
     no_act = F.lit(None).cast("struct<activity_type:string,is_active:boolean>")
+    no_bounds = F.array().cast(
+        "array<struct<db_ns:string,db_id:string,name:string,is_bound:boolean>>"
+    )
     from indra_db_spark.operators.grounding import regularize_agent_id
 
     # Regularize ids exactly like the reading path (grounding.py::
@@ -66,6 +69,7 @@ def load_knowledgebase(
         F.coalesce(F.col(f"{p}_name"), F.col(f"{p}_id")).alias("name"),
         no_muts.alias("muts"),
         no_act.alias("activity"),
+        no_bounds.alias("bounds"),
     )
     empty_mods = F.array().cast(
         "array<struct<mod_type:string,residue:string,position:string,is_modified:boolean>>"

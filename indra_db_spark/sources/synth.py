@@ -80,7 +80,7 @@ def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
             position = _POSITIONS[_h(seed, i, j, 8) % 5]
         # Subject qualifiers on directional triggers only (Complex member
         # alignment is conservative in refinement — keep Complexes bare):
-        mut = act = None
+        mut = act = bound = None
         if trigger != "binds":
             q = _h(seed, i, j, 10) % 7
             if q == 0:
@@ -91,10 +91,16 @@ def page_spec(i: int, seed: int = 42, ts_stride_s: int = 137) -> dict:
                 )
             elif q == 1:
                 act = "active" if _h(seed, i, j, 14) % 2 == 0 else "inactive"
+            elif q == 2:
+                # BoundCondition: "<A> [not] bound to <X> <trigger> <B>"
+                bent = LX.LEXICON[_h(seed, i, j, 15) % len(LX.LEXICON)]
+                if bent == subj:
+                    bent = LX.LEXICON[(_h(seed, i, j, 15) + 1) % len(LX.LEXICON)]
+                bound = (bent, _h(seed, i, j, 16) % 2 == 0)  # (entity, is_bound)
         sentences.append(
             {"subj": subj, "trigger": trigger, "obj": obj,
              "residue": residue, "position": position,
-             "mut": mut, "act": act}
+             "mut": mut, "act": act, "bound": bound}
         )
     return {
         "url": f"https://ex{src}.org/doc/{i:06d}",
@@ -130,7 +136,11 @@ def _sentence_text(s: dict) -> str:
         prefix = f"{f_}{p_}{t_} mutant "
     elif s.get("act"):
         prefix = f"{s['act']} "
-    return f"{prefix}{s['subj']} {s['trigger']} {s['obj']}{mod}."
+    bound_phrase = ""
+    if s.get("bound"):
+        bent, is_bound = s["bound"]
+        bound_phrase = f" bound to {bent}" if is_bound else f" not bound to {bent}"
+    return f"{prefix}{s['subj']}{bound_phrase} {s['trigger']} {s['obj']}{mod}."
 
 
 def render_page(spec: dict, seed: int = 42) -> dict:
@@ -245,7 +255,10 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
             activity = (
                 ("activity", s["act"] == "active") if s.get("act") else None
             )
-            subj_key = agent_key_py(key(s["subj"]), muts, activity)
+            bounds = (
+                [(key(s["bound"][0]), s["bound"][1])] if s.get("bound") else None
+            )
+            subj_key = agent_key_py(key(s["subj"]), muts, activity, bounds)
             obj_key = key(s["obj"])
             mk = matches_key_py(stype, subj_key, obj_key, mods)
             out.append(
@@ -260,6 +273,7 @@ def reference_statements(n: int, seed: int = 42) -> list[dict]:
                     "obj_entity_key": obj_key,
                     "muts": muts or [],
                     "activity": activity,
+                    "bounds": bounds or [],
                     "mods": mods,
                     "matches_key": mk,
                     "evidence_text": _sentence_text(s),

@@ -189,21 +189,47 @@ def supplement_corpus(
         .localCheckpoint()
     )
 
-    # 7. writes. Evidence is REWRITTEN for affected hashes (kept rows ∪
+    # 7. writes. Evidence is rewritten for affected hashes (kept rows ∪
     # the re-distilled affected rows): a version-bumped re-read supersedes
     # the url's old readings, so their evidence rows must leave the table
     # or ev_count and the hydrated evidence arrays diverge from a full
-    # rebuild. raw_statements stays append-only (the immutable log —
-    # distill interprets versions on read). At deployment scale this
-    # rewrite is an Iceberg MERGE/delete-files on the affected hash set,
-    # not a table rewrite; the parquet shim overwrites.
+    # rebuild. The rewrite is PARTITION-SCOPED (the table is
+    # day-partitioned per SURVEY §8.1): only days holding ≥1 affected-hash
+    # row — plus days the re-distilled rows land in — are overwritten;
+    # untouched day partitions keep their files byte-for-byte (tested).
+    # At deployment scale the same op is an Iceberg MERGE/delete-files;
+    # the shim's dynamic partition overwrite carries the same contract.
+    # raw_statements stays append-only (the immutable log — distill
+    # interprets versions on read).
     old_ev = storage.read_table(spark, path("evidence"))
+    new_ev = dedup_op.build_evidence(distilled)
+    aff_days = (
+        old_ev.join(affected, "mk_hash", "left_semi")
+        .select("day")
+        .unionByName(new_ev.select("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     merged_evidence = (
-        old_ev.join(affected, "mk_hash", "left_anti")
-        .unionByName(dedup_op.build_evidence(distilled))
+        old_ev.join(F.broadcast(aff_days), "day", "left_semi")
+        .join(affected, "mk_hash", "left_anti")
+        .unionByName(new_ev)
         .localCheckpoint()  # plan reads the files the write replaces
     )
-    storage.write_table(merged_evidence, path("evidence"), None)
+    # Dynamic overwrite can only REPLACE partitions present in the frame —
+    # a day whose every row was superseded (and gained no new rows) would
+    # otherwise survive as a stale directory. Drop those dirs explicitly
+    # (the shim analog of Iceberg's delete-files); merged_evidence is
+    # already materialized above, so deleting before the write is safe.
+    import shutil
+
+    surviving = {r["day"] for r in merged_evidence.select("day").distinct().collect()}
+    for r in aff_days.collect():
+        if r["day"] not in surviving:
+            shutil.rmtree(f"{path('evidence')}/day={r['day']}", ignore_errors=True)
+    storage.write_table(
+        merged_evidence, path("evidence"), ["day"], mode="overwrite_partitions"
+    )
     storage.write_table(merged_final, path("pa_statements"), ["bucket"])
     storage.write_table(merged_link.select("supported_mk_hash", "supporting_mk_hash"), path("pa_link"), None)
     cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))

@@ -96,6 +96,18 @@ def test_rejects_unknown_and_empty():
         parse_query({})
 
 
+def test_rejects_bad_sort_by(ctx):
+    """sort_by is validated at parse time like every other param — a bad
+    column must be a ValueError, not an AnalysisException from deep
+    inside get_statements (ADVICE r2)."""
+    with pytest.raises(ValueError, match="sort_by"):
+        run_query({"agent": "TP53", "sort_by": "subj"}, ctx)
+    # belief remains a legal sort column
+    rows = run_query({"agent": "TP53", "sort_by": "belief", "limit": 3}, ctx).collect()
+    beliefs = [r["belief"] for r in rows]
+    assert beliefs == sorted(beliefs, reverse=True)
+
+
 def test_after_cursor_string_form(ctx):
     """HTTP string cursor "sort,hash" parses and pages correctly."""
     page1 = run_query({"agent": "TP53", "limit": 3}, ctx).collect()

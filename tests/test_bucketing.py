@@ -72,6 +72,44 @@ def test_bucketed_aggregate_has_no_shuffle(spark, warehouse):
     assert "Exchange hashpartitioning" not in _plan(agg), _plan(agg)
 
 
+def test_serving_context_bucketed_swap(spark):
+    """api.load_context(bucketed=True) — the pg_restore-swap analog:
+    registers the corpus as mk_hash-bucketed catalog tables; serving
+    aggregations on mk_hash run exchange-free and query results match the
+    plain-parquet context exactly."""
+    import tempfile
+
+    from indra_db_spark.api import load_context, run_query
+    from indra_db_spark.pipeline import run_pipeline
+
+    base = tempfile.mkdtemp(prefix="kg_srv_")
+    try:
+        run_pipeline(
+            spark, synth_pages(spark, 120, seed=42), base,
+            pages_fingerprint="srv0", source_expr=synth_source_expr,
+        )
+        plain_ctx = load_context(spark, base)
+        bucket_ctx = load_context(spark, base, bucketed=True)
+        agg = bucket_ctx.evidence.groupBy("mk_hash").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert "Exchange hashpartitioning" not in _plan(agg), _plan(agg)
+        params = {"agent": "TP53", "limit": 5, "ev_limit": 2}
+        want = [
+            (r["mk_hash"], r["ev_count"], len(r["evidences"]))
+            for r in run_query(params, plain_ctx).collect()
+        ]
+        got = [
+            (r["mk_hash"], r["ev_count"], len(r["evidences"]))
+            for r in run_query(params, bucket_ctx).collect()
+        ]
+        assert got == want and got
+    finally:
+        for t in ("pa_statements_srv", "evidence_srv"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_bucketed_values_roundtrip(spark, warehouse):
     pa = spark.table("pa_bucketed")
     plain = spark.read.parquet(f"{warehouse}/pa")

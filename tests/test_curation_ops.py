@@ -455,6 +455,36 @@ def test_dedup_clusters_methods_agree(spark):
     assert lsh == exact
 
 
+def test_dedup_clusters_non_default_id_col(spark):
+    """Regression (r2 VERDICT #1 / ADVICE): the minhash_lsh residual stage
+    selected the caller's id_col from a frame whose id column is always
+    named doc_id (word_shingles renames), crashing on any id_col other
+    than 'doc_id'. Both dedup methods and curate_corpus must honour a
+    custom id column end-to-end."""
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+    from indra_db_spark.operators.textops import curate_corpus
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w7 ", "w7x ")),
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "my_id long, text string")
+    for method in ("minhash_lsh", "jaccard"):
+        kw = {"num_hashes": 16, "bands": 8} if method == "minhash_lsh" else {}
+        got = {
+            (r["my_id"], r["cluster_id"])
+            for r in dedup_clusters(
+                df, method=method, threshold=0.7, id_col="my_id", **kw
+            ).collect()
+        }
+        assert got == {(1, 1), (2, 1)}, method
+    # curate_corpus defaults to minhash_lsh dedup — same crash path
+    curated = curate_corpus(df, id_col="my_id")
+    assert {r["my_id"] for r in curated.select("my_id").collect()} <= {1, 2, 3}
+
+
 def test_winnow_via_paths_equal(spark):
     """winnow via='explode' (codegen-hash) == via='arrays' (no-shuffle),
     both hash families, including gram-less docs."""

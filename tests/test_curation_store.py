@@ -25,7 +25,7 @@ from indra_db_spark.plans.query import (
 def _pa(spark):
     row = lambda mk, typ: (
         mk, f"{typ}(HGNC:1, HGNC:{mk})", typ,
-        ("HGNC", "1", "A", [], None), ("HGNC", str(mk), "B", [], None),
+        ("HGNC", "1", "A", [], None, []), ("HGNC", str(mk), "B", [], None, []),
         [], 1, {"src0": 1}, 0.5, 2,
     )
     return spark.createDataFrame(

@@ -128,6 +128,44 @@ def test_object_entity_no_mid_token_match(spark):
     ] == [(None, None)]
 
 
+def test_qualifier_window_bounds_agree_with_grammar(spark):
+    """ADVICE r3: the mutation position is bounded to 5 digits so every
+    grammar-legal qualifier fits the 32-char lookback window — the
+    longest legal prefix ("X99999Y mutant inactive ") must be captured
+    in full, and an over-long (grammar-illegal) position must drop the
+    WHOLE mutation cleanly rather than truncate it mid-number."""
+    from indra_db_spark.operators.extract import extract_statements
+    from indra_db_spark.sources import lexicon as LX
+
+    trig = sorted(LX.TRIGGERS)[0]
+    ent = sorted(LX.LEXICON)[0]
+    other = sorted(LX.LEXICON)[1]
+    rows = [
+        ("https://q.org/1", f"A99999B mutant inactive {other} {trig} {ent} now.", "en"),
+        ("https://q.org/2", f"A123456B mutant {other} {trig} {ent} now.", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string"
+    ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "warc_ts", F.current_timestamp()
+    )
+    got = {
+        r["url"]: r
+        for r in extract_statements(pages)
+        .select("url", "subj_mut_from", "subj_mut_pos", "subj_mut_to", "subj_act")
+        .collect()
+    }
+    r1 = got["https://q.org/1"]
+    assert (r1["subj_mut_from"], r1["subj_mut_pos"], r1["subj_mut_to"]) == (
+        "A", "99999", "B"
+    )
+    assert r1["subj_act"] == "inactive"
+    r2 = got["https://q.org/2"]
+    assert (r2["subj_mut_from"], r2["subj_mut_pos"], r2["subj_mut_to"]) == (
+        None, None, None
+    )
+
+
 def test_extended_type_vocabulary(spark):
     """Extended (non-grammar) triggers are extracted and classified; the
     synthetic grammar stays pinned to GRAMMAR_TRIGGERS so golden corpora

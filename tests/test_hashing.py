@@ -81,10 +81,15 @@ def test_null_agent_keys_do_not_collapse(spark):
     (concat_ws skips nulls — the keys coalesce to '' first)."""
     from indra_db_spark.functions.hashing import matches_key_expr
 
-    agent = "struct<db_ns:string,db_id:string,muts:array<struct<position:string,residue_from:string,residue_to:string>>,activity:struct<activity_type:string,is_active:boolean>>"
+    agent = (
+        "struct<db_ns:string,db_id:string,"
+        "muts:array<struct<position:string,residue_from:string,residue_to:string>>,"
+        "activity:struct<activity_type:string,is_active:boolean>,"
+        "bounds:array<struct<db_ns:string,db_id:string,name:string,is_bound:boolean>>>"
+    )
     df = spark.createDataFrame(
-        [("Activation", ("HGNC", "1", [], None), None),
-         ("Activation", None, ("HGNC", "1", [], None))],
+        [("Activation", ("HGNC", "1", [], None, []), None),
+         ("Activation", None, ("HGNC", "1", [], None, []))],
         f"type string, subj {agent}, obj {agent}",
     )
     keys = [

@@ -131,13 +131,14 @@ def test_hub_key_exists(raw_small):
 
 
 # --------------------------------------------------------------- refinement
-def _pa_row(mk, typ, s_ns, s_id, o_ns, o_id, mods=None, s_muts=None, s_act=None):
+def _pa_row(mk, typ, s_ns, s_id, o_ns, o_id, mods=None, s_muts=None, s_act=None,
+            s_bounds=None):
     return (
         mk,
         f"{typ}({s_ns}:{s_id}, {o_ns}:{o_id})",
         typ,
-        (s_ns, s_id, s_id, s_muts or [], s_act),
-        (o_ns, o_id, o_id, [], None),
+        (s_ns, s_id, s_id, s_muts or [], s_act, s_bounds or []),
+        (o_ns, o_id, o_id, [], None, []),
         mods or [],
         1,
         {"src0": 1},
@@ -399,6 +400,58 @@ def test_mutation_activity_distinct_hashes(spark):
     act = rows[texts[2]]
     assert act["subj"]["activity"] == ("activity", True)
     assert ";act=activity:true" in act["matches_key"]
+
+
+def test_bound_condition_distinct_hashes(spark):
+    """BoundCondition (r3): bare / bound / not-bound variants of the same
+    triple hash distinctly; the bound entity grounds via the same map and
+    is folded into the subject agent key sorted after mut/act parts."""
+    from indra_db_spark.functions.hashing import fold_md5_64_py, matches_key_py
+
+    texts = [
+        "KRASGEN activates TP53GEN.",
+        "KRASGEN bound to EGFRGEN activates TP53GEN.",
+        "KRASGEN not bound to EGFRGEN activates TP53GEN.",
+        "KRASGEN bound to MTORGEN activates TP53GEN.",
+    ]
+    rows = {}
+    for t in texts:
+        (r,) = _ground(spark, t)
+        rows[t] = r
+    assert len({rows[t]["mk_hash"] for t in texts}) == 4
+    bound = rows[texts[1]]
+    assert bound["subj"]["bounds"] == [("HGNC", "10002", "EGFR", True)]
+    assert bound["matches_key"] == (
+        "Activation(HGNC:10003;bound=HGNC:10002:true, HGNC:11998)"
+    )
+    notb = rows[texts[2]]
+    assert notb["subj"]["bounds"] == [("HGNC", "10002", "EGFR", False)]
+    # Spark mk_hash == Python twin with the bounds fold
+    from indra_db_spark.functions.hashing import agent_key_py
+
+    subj_key = agent_key_py("HGNC:10003", bounds=[("HGNC:10002", True)])
+    assert bound["mk_hash"] == fold_md5_64_py(
+        matches_key_py("Activation", subj_key, "HGNC:11998")
+    )
+
+
+def test_refinement_bound_supports_bare(spark):
+    """A bound-condition-bearing statement is MORE specific: it supports
+    the bare statement, never the reverse; bound and not-bound variants
+    are incompatible with each other (BoundCondition refinement)."""
+    rows = [
+        _pa_row(1, "Activation", "HGNC", "1", "HGNC", "2",
+                s_bounds=[("HGNC", "9", "X", True)]),
+        _pa_row(2, "Activation", "HGNC", "1", "HGNC", "2"),
+        _pa_row(3, "Activation", "HGNC", "1", "HGNC", "2",
+                s_bounds=[("HGNC", "9", "X", False)]),
+    ]
+    pa = spark.createDataFrame(rows, schemas.PA_STATEMENTS)
+    links = {
+        (r["supported_mk_hash"], r["supporting_mk_hash"])
+        for r in build_pa_link(pa, dims.isa_closure_df(spark)).collect()
+    }
+    assert links == {(2, 1), (2, 3)}
 
 
 def test_refinement_mutant_supports_bare(spark):

@@ -160,6 +160,33 @@ def test_mutation_and_activity_split_hashes(golden, expected):
     assert pa.where(F.col("obj.activity").isNotNull()).count() == 0
 
 
+def test_bound_condition_split_hashes(golden, expected):
+    """r3: statements differing only by a BoundCondition split hashes,
+    and the condition survives dedup on the subject struct (the
+    mods/muts/activity/bounds agent-state model is now complete)."""
+    from indra_db_spark.functions.hashing import matches_key_py
+
+    bounded = [e for e in expected if e["bounds"]]
+    assert bounded, "twin corpus should contain bound-condition statements"
+    for e in bounded:
+        bare_mk = matches_key_py(
+            e["type"], e["subj_entity_key"], e["obj_entity_key"], e["mods"]
+        )
+        assert fold_md5_64_py(bare_mk) != fold_md5_64_py(e["matches_key"])
+    pa = golden.tables["pa_statements"]
+    n_bound = pa.where(F.size("subj.bounds") > 0).count()
+    assert n_bound > 0
+    # both polarities appear, and bounds never leak onto objects
+    pol = {
+        r["b"]["is_bound"]
+        for r in pa.where(F.size("subj.bounds") > 0)
+        .select(F.col("subj.bounds")[0].alias("b"))
+        .collect()
+    }
+    assert pol == {True, False}
+    assert pa.where(F.size("obj.bounds") > 0).count() == 0
+
+
 def test_statement_type_breadth(golden, expected):
     """The grammar emits the full indra.statements subset — at least 10 of
     the 12 concrete types appear in a 200-page corpus, and the pipeline's

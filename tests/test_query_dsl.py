@@ -114,6 +114,31 @@ def test_set_ops(ctx):
     assert _hashes(~(a | t), ctx) == _hashes(~a & ~t, ctx)
 
 
+def test_has_agent_agent_num_validated(ctx):
+    """r3: agent_num outside the binary model {0, 1} raises (schemas.py
+    two-agent invariant) instead of silently matching nothing."""
+    import pytest as _pytest
+
+    assert _hashes(HasAgent(name="TP53", agent_num=0), ctx) == _hashes(
+        HasAgent(name="TP53", role="SUBJECT"), ctx
+    )
+    with _pytest.raises(ValueError, match="agent_num"):
+        _hashes(HasAgent(name="TP53", agent_num=2), ctx)
+
+
+def test_empty_set_op_identities(ctx):
+    """Union([]) is the empty SET (nothing matches); Intersection([]) is
+    trivially true (everything matches) — duals, including under De
+    Morgan: ~Union([]) == Intersection([]) (r2 VERDICT #2 regression)."""
+    from indra_db_spark.plans.query import Intersection, Union
+
+    corpus = _hashes(EmptyQuery(), ctx)
+    assert _hashes(Union([]), ctx) == set()
+    assert _hashes(Intersection([]), ctx) == corpus
+    assert _hashes(~Union([]), ctx) == corpus
+    assert _hashes(~Intersection([]), ctx) == set()
+
+
 def test_has_hash_roundtrip(ctx):
     some = sorted(_hashes(HasType(["Complex"]), ctx))[:5]
     assert _hashes(HasHash(some), ctx) == set(some)
@@ -207,6 +232,9 @@ def test_from_topics_and_ref_counts(spark, ctx):
     crc = build_topic_ref_counts(concepts, ctx.evidence)
     crow = crc.where(F.col("topic_id") == some_concept).first()
     assert crow["topic_num"] == int(some_concept[1:])
+    # the prefix survives alongside the number: T123 and C123 are distinct
+    # topics, disambiguated by topic_kind (ADVICE r2)
+    assert crow["topic_kind"] == "C"
 
     rc = build_topic_ref_counts(topics, ctx.evidence)
     row = rc.where(F.col("topic_id") == some_topic).first()
@@ -216,6 +244,7 @@ def test_from_topics_and_ref_counts(spark, ctx):
     }
     assert row["ref_count"] == len(urls & urls_with_ev)
     assert row["topic_num"] == int(some_topic[1:])
+    assert row["topic_kind"] == "T"
 
 
 def test_result_modes(ctx):

@@ -79,6 +79,63 @@ def test_supplement_is_idempotent(spark, dirs):
     assert _pa_snapshot(tables["pa_statements"]) == before
 
 
+def test_supplement_rewrites_only_affected_evidence_partitions(spark):
+    """evidence is day-partitioned (SURVEY §8.1 days(warc_ts)); a
+    supplement touching one crawl day must leave every other day
+    partition's files byte-identical — the shim analog of an Iceberg
+    MERGE's delete-file scope (VERDICT r2 #3: the unpartitioned table
+    was fully rewritten on every incremental batch)."""
+    import datetime as dt
+    import glob
+    import hashlib
+    import os
+
+    base = tempfile.mkdtemp(prefix="kg_part_")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    try:
+        rows = [
+            ("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+             "EGFRGEN activates KRASGEN.", "en"),
+            ("https://ex0.org/b", dt.datetime(2024, 3, 2), None,
+             "BRAFGEN inhibits MYCGEN.", "en"),
+            ("https://ex0.org/c", dt.datetime(2024, 3, 3), None,
+             "AKT1GEN binds MTORGEN.", "en"),
+        ]
+        pages = spark.createDataFrame(rows, schema)
+        run_pipeline(spark, pages, base, pages_fingerprint="part0",
+                     source_expr=synth_source_expr)
+
+        def snap(day):
+            out = {}
+            for p in sorted(glob.glob(f"{base}/evidence/day={day}/*")):
+                with open(p, "rb") as f:
+                    out[os.path.basename(p)] = (
+                        hashlib.md5(f.read()).hexdigest(), os.path.getmtime(p)
+                    )
+            assert out, f"no files for day={day}"
+            return out
+
+        before1, before2 = snap("2024-03-01"), snap("2024-03-02")
+        reread = spark.createDataFrame(
+            [("https://ex0.org/c", dt.datetime(2024, 3, 3), None,
+              "AKT1GEN phosphorylates MTORGEN.", "en")],
+            schema,
+        )
+        tables = supplement_corpus(spark, base, reread, extractor_version="3.0",
+                                   source_expr=synth_source_expr)
+        # untouched partitions: identical content AND mtime (not rewritten)
+        assert snap("2024-03-01") == before1
+        assert snap("2024-03-02") == before2
+        # the affected day serves only the superseding (v3.0) reading
+        day3 = tables["evidence"].where(F.col("day") == "2024-03-03").collect()
+        assert {r["evidence_text"] for r in day3} == {
+            "AKT1GEN phosphorylates MTORGEN."
+        }
+        assert tables["evidence"].count() == 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_wrapper(spark):
     from indra_db_spark.streaming.stream import incremental_assembly_stream
 
