@@ -104,7 +104,15 @@ def build_evidence(raw: DataFrame) -> DataFrame:
 
     Carries ``day`` (the days(warc_ts) Iceberg partition transform,
     SURVEY §8.1) so the table lands day-partitioned and the incremental
-    supplement can rewrite only the partitions holding affected rows."""
+    supplement can rewrite only the partitions holding affected rows.
+
+    ``day`` is NEVER NULL: rows without a crawl timestamp (knowledgebase
+    loads — sources/knowledgebase.py writes warc_ts NULL) land in a
+    literal ``undated`` partition. A null day would break the
+    supplement's partition-scoping joins (null keys never equi-match, so
+    an affected hash's null-day rows would be excluded from the rewrite
+    frame while dynamic overwrite still replaced the
+    __HIVE_DEFAULT_PARTITION__ directory — silent data loss)."""
     return raw.select(
         "mk_hash",
         "raw_id",
@@ -112,5 +120,7 @@ def build_evidence(raw: DataFrame) -> DataFrame:
         "source",
         "evidence_text",
         "source_hash",
-        F.date_format("warc_ts", "yyyy-MM-dd").alias("day"),
+        F.coalesce(
+            F.date_format("warc_ts", "yyyy-MM-dd"), F.lit("undated")
+        ).alias("day"),
     )

@@ -136,6 +136,72 @@ def test_supplement_rewrites_only_affected_evidence_partitions(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_supplement_preserves_undated_kb_evidence(spark):
+    """Null-warc_ts (knowledgebase) evidence lands in the literal
+    'undated' partition — when a supplement affects a KB-co-sourced hash,
+    the undated partition is rewritten WITH its unaffected rows kept (a
+    null day key would silently drop them: null keys never equi-match the
+    partition-scoping joins while dynamic overwrite still replaces the
+    default partition)."""
+    import datetime as dt
+
+    from indra_db_spark.operators.dedup import build_evidence
+    from indra_db_spark.sources.knowledgebase import load_knowledgebase
+    from indra_db_spark.sources.storage import read_table, write_table
+
+    base = tempfile.mkdtemp(prefix="kg_kb_")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    try:
+        pages = spark.createDataFrame(
+            [("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+              "EGFRGEN activates KRASGEN.", "en")],
+            schema,
+        )
+        run_pipeline(spark, pages, base, pages_fingerprint="kb0",
+                     source_expr=synth_source_expr)
+        # KB batch: one triple sharing the page statement's mk_hash, one
+        # unrelated — appended to raw, evidence rebuilt (the documented
+        # A5/A7 load path)
+        kb = load_knowledgebase(
+            spark, "signor",
+            [("Activation", "HGNC", "10002", "EGFR", "HGNC", "10003", "KRAS"),
+             ("Inhibition", "HGNC", "10004", "BRAF", "HGNC", "10007", "MYC")],
+        )
+        write_table(
+            kb.withColumn(
+                "day",
+                F.coalesce(F.date_format("warc_ts", "yyyy-MM-dd"), F.lit("undated")),
+            ),
+            f"{base}/raw_statements", ["day"], mode="append",
+        )
+        all_raw = read_table(spark, f"{base}/raw_statements").drop("day")
+        write_table(build_evidence(all_raw), f"{base}/evidence", ["day"])
+        ev0 = read_table(spark, f"{base}/evidence")
+        assert ev0.where(F.col("day") == "undated").count() == 2
+
+        # supersede the page's reading — its mk is ALSO the KB triple's mk
+        reread = spark.createDataFrame(
+            [("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+              "EGFRGEN inhibits KRASGEN.", "en")],
+            schema,
+        )
+        tables = supplement_corpus(spark, base, reread, extractor_version="3.0",
+                                   source_expr=synth_source_expr)
+        ev = tables["evidence"]
+        und = {r["source"]: r["evidence_text"]
+               for r in ev.where(F.col("day") == "undated").collect()}
+        # BOTH KB rows survive: the affected-hash one regenerated, the
+        # unrelated one untouched
+        assert set(und) == {"kb_signor"}
+        assert len(ev.where(F.col("day") == "undated").collect()) == 2
+        # the superseded v2.0 page evidence is gone; v3.0 row present
+        texts = {r["evidence_text"] for r in ev.collect()}
+        assert "EGFRGEN inhibits KRASGEN." in texts
+        assert "EGFRGEN activates KRASGEN." not in texts
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_streaming_wrapper(spark):
     from indra_db_spark.streaming.stream import incremental_assembly_stream
 
