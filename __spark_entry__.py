@@ -605,6 +605,69 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate: duplicate-line and duplicate word-3-gram
+    fractions per document (scan-speed HOF expressions, no shuffle)."""
+    from indra_db_spark.operators.textops import repetition_ratios
+
+    d = _load(spark, sf_dir, "documents")
+    return repetition_ratios(d).select(
+        "doc_id", "dup_line_frac", "dup_3gram_frac"
+    ).orderBy("doc_id")
+
+
+def _q_urls_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministic synthetic URL corpus
+    built from the documents table — exercises every rule (case, default
+    ports, fragments, tracking params, trailing slash)."""
+    from indra_db_spark.operators.textops import canonicalize_urls
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    u = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Ex"), F.col("source"), F.lit(".ORG:443/Docs/"),
+                did, F.lit("/?utm_source=feed&id="), did,
+                F.lit("&utm_campaign=x#sec"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://ex"), F.col("source"), F.lit(".org:80/a/"), did
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://EX.org/b/"), did, F.lit("?fbclid=abc"))
+        )
+    )
+    urls = d.select("doc_id", u.alias("url"))
+    return canonicalize_urls(urls).select("doc_id", "canon_url").orderBy("doc_id")
+
+
+def _q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic PII-bearing corpus derived from
+    the documents table: emails + NANP phones → typed placeholders with
+    per-doc match counts."""
+    from indra_db_spark.operators.textops import redact_pii
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("contact user"), did, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(" or call 555-123-4567 now ")
+        ).otherwise(F.lit(" by mail ")),
+        F.substring(F.col("text"), 1, 40),
+    )
+    corp = d.select("doc_id", t.alias("text"))
+    return redact_pii(corp).select(
+        "doc_id", "n_emails", "n_phones", "redacted"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_predicates": _q_filter_predicates,
@@ -636,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": _q_docs_dup_clusters,
         "docs_curated": _q_docs_curated,
         "embeddings_ivf_ann": _q_ivf_ann,
+        "docs_repetition": _q_docs_repetition,
+        "urls_canonical": _q_urls_canonical,
+        "docs_pii_redacted": _q_docs_pii,
         # kg_*: full pipeline over the deterministic synthesized corpus,
         # hash-checked against pure-Python-twin VALUES oracles (r3 — the
         # iterative CC itself isn't SQL, but its expected OUTPUT is
@@ -1238,6 +1304,111 @@ def oracle_sql() -> dict[str, str]:
         # to full hash-checked pairs.
         "kg_pipeline_interactions": _kg_interactions_oracle(),
         "kg_component_sizes": _kg_components_oracle(),
+        "docs_repetition": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split({_NORM_TEXT}, ' ') AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM base, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+                WHERE len(w) >= 3
+            ),
+            gstats AS (
+                SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist
+                FROM g GROUP BY doc_id
+            ),
+            lstats AS (
+                SELECT doc_id, len(lines) AS lt, len(list_distinct(lines)) AS ld
+                FROM base
+            )
+            SELECT l.doc_id,
+                   CASE WHEN lt > 0
+                        THEN round(1.0 - ld::DOUBLE / lt, 6) ELSE 0.0
+                   END AS dup_line_frac,
+                   CASE WHEN coalesce(total, 0) > 0
+                        THEN round(1.0 - dist::DOUBLE / total, 6) ELSE 0.0
+                   END AS dup_3gram_frac
+            FROM lstats l LEFT JOIN gstats USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "urls_canonical": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 3 = 0 THEN
+                           'HTTPS://Ex' || source || '.ORG:443/Docs/' || doc_id::VARCHAR
+                           || '/?utm_source=feed&id=' || doc_id::VARCHAR || '&utm_campaign=x#sec'
+                         WHEN doc_id % 3 = 1 THEN
+                           'http://ex' || source || '.org:80/a/' || doc_id::VARCHAR
+                         ELSE 'https://EX.org/b/' || doc_id::VARCHAR || '?fbclid=abc'
+                       END AS url
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM urls),
+            s2 AS (
+                SELECT doc_id, u,
+                       regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS sh
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(lower(sh), '^(https://[^:/]+):443$', '\1'),
+                           '^(http://[^:/]+):80$', '\1') AS shp,
+                       substr(u, length(sh) + 1) AS rest
+                FROM s2
+            ),
+            s4 AS (
+                SELECT doc_id, shp,
+                       regexp_replace(split_part(rest, '?', 1), '(.)/$', '\1') AS path,
+                       CASE WHEN strpos(rest, '?') > 0
+                            THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+                FROM s3
+            ),
+            s5 AS (
+                SELECT doc_id, shp, path,
+                       -- array_to_string([]) is NULL in DuckDB (Spark's
+                       -- array_join gives '') — coalesce for parity
+                       coalesce(array_to_string(
+                           list_filter(string_split(qs, '&'),
+                               p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid)=')),
+                           '&'), '') AS kq
+                FROM s4
+            )
+            SELECT doc_id,
+                   shp || path || CASE WHEN kq = '' THEN '' ELSE '?' || kq END
+                       AS canon_url
+            FROM s5
+            ORDER BY doc_id
+        """,
+        "docs_pii_redacted": r"""
+            WITH corp AS (
+                SELECT doc_id,
+                       'contact user' || doc_id::VARCHAR || '@example.com'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' or call 555-123-4567 now '
+                               ELSE ' by mail ' END
+                       || substr(text, 1, 40) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INT AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')
+                       AS redacted
+            FROM corp
+            ORDER BY doc_id
+        """,
     }
 
 

@@ -48,6 +48,9 @@ HEADLINE = [
     "docs_winnow_prod",
     "docs_dup_clusters",
     "docs_curated",
+    "docs_repetition",
+    "urls_canonical",
+    "docs_pii_redacted",
 ]
 
 KG_BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "20000"))

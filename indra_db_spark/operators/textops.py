@@ -241,6 +241,133 @@ def winnow_fingerprints(
     )
 
 
+def repetition_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (the 'repetitious
+    document' gate of the Gopher/MassiveText filter recipe): fraction of
+    duplicate lines and fraction of duplicate word 3-grams. Highly
+    repetitive documents (boilerplate, keyword stuffing, scraper loops)
+    score near 1 and are dropped by quality gates upstream of dedup.
+
+    Pure per-row higher-order expressions — no shuffle, scan speed.
+    Staged selects so lambdas bind ATTRIBUTES (the interpreted-HOF
+    re-eval trap documented on winnow_fingerprints).
+    """
+    s1 = df.select(
+        "*",
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.split(collapse_ws_expr(F.col(text_col)), " ").alias("_words"),
+    )
+    n_words = F.size(F.col("_words"))
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 3),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s2 = s1.withColumn("_grams", grams)
+    frac = lambda total, distinct: F.when(
+        total > 0, F.round(1.0 - distinct.cast("double") / total, 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        s2.withColumn(
+            "dup_line_frac",
+            frac(
+                F.size(F.col("_lines")),
+                F.size(F.array_distinct(F.col("_lines"))),
+            ),
+        )
+        .withColumn(
+            "dup_3gram_frac",
+            frac(
+                F.size(F.col("_grams")),
+                F.size(F.array_distinct(F.col("_grams"))),
+            ),
+        )
+        .drop("_lines", "_words", "_grams")
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Common-Crawl-style URL canonicalization — the key step before any
+    url-grain dedup or join: lowercase scheme+host, strip the fragment,
+    strip default ports, drop tracking params (utm_*, fbclid), strip a
+    trailing path slash. Pure column expressions (array HOFs for the
+    query-string filter); deterministic and engine-portable (the DuckDB
+    oracle mirrors it function-for-function).
+    """
+    u0 = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
+    s1 = df.withColumn("_u", u0)
+    sh = F.regexp_extract(F.col("_u"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    s2 = s1.withColumn("_sh", sh).withColumn(
+        "_rest", F.expr("substring(_u, length(_sh) + 1)")
+    )
+    sh_low = F.lower(F.col("_sh"))
+    sh_port = F.regexp_replace(
+        F.regexp_replace(sh_low, r"^(https://[^:/]+):443$", "$1"),
+        r"^(http://[^:/]+):80$",
+        "$1",
+    )
+    path = F.substring_index(F.col("_rest"), "?", 1)
+    qs = F.expr(
+        "case when locate('?', _rest) > 0 "
+        "then substring(_rest, locate('?', _rest) + 1) else '' end"
+    )
+    s3 = (
+        s2.withColumn("_shp", sh_port)
+        .withColumn("_path", F.regexp_replace(path, r"(.)/$", "$1"))
+        .withColumn("_qs", qs)
+    )
+    kept = F.array_join(
+        F.filter(
+            F.split(F.col("_qs"), "&"),
+            lambda p: ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid)="),
+        ),
+        "&",
+    )
+    s4 = s3.withColumn("_kq", kept)
+    canon = F.concat(
+        F.col("_shp"),
+        F.col("_path"),
+        F.when(F.col("_kq") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("_kq"))
+        ),
+    )
+    return s4.withColumn(out_col, canon).drop(
+        "_u", "_sh", "_rest", "_shp", "_path", "_qs", "_kq"
+    )
+
+
+# PII patterns — engine-portable (no lookaround; RE2-safe for the DuckDB
+# twin, Java-regex-safe for Spark).
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PAT = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Training-data PII scrubbing: replace email addresses and
+    NANP-style phone numbers with typed placeholders, keeping per-doc
+    match counts (the audit trail a compliance pass needs). Regex-only —
+    scan speed, no shuffle; the patterns avoid lookaround so the DuckDB
+    oracle matches byte-for-byte.
+    """
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_PAT)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_PAT)))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_PAT, "[EMAIL]"), PHONE_PAT, "[PHONE]"
+            ),
+        )
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

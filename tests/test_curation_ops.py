@@ -485,6 +485,75 @@ def test_dedup_clusters_non_default_id_col(spark):
     assert {r["my_id"] for r in curated.select("my_id").collect()} <= {1, 2, 3}
 
 
+def test_repetition_ratios(spark):
+    """Gopher repetition gate: duplicate-line and duplicate word-3-gram
+    fractions; short docs and newline-free docs are handled."""
+    from indra_db_spark.operators.textops import repetition_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 3-grams, 3 distinct
+            (2, "w0 w1 w2 w3 w4"),     # all distinct
+            (3, "x\nx\ny"),            # 3 lines, 2 distinct
+            (4, "one two"),            # < 3 words → no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_3gram_frac"])
+        for r in repetition_ratios(df).collect()
+    }
+    assert got[1][1] == round(1 - 3 / 7, 6)
+    assert got[2][1] == 0.0
+    assert got[3][0] == round(1 - 2 / 3, 6)
+    assert got[4] == (0.0, 0.0)
+
+
+def test_canonicalize_urls(spark):
+    """URL canonicalization rules: case, default ports, fragment,
+    tracking params, trailing slash — non-default ports and the bare
+    root path survive."""
+    from indra_db_spark.operators.textops import canonicalize_urls
+
+    cases = [
+        (1, "HTTPS://Ex.ORG:443/A/b/?utm_source=x&id=7&utm_campaign=y#frag",
+         "https://ex.org/A/b?id=7"),
+        (2, "http://ex.org:80/a/", "http://ex.org/a"),
+        (3, "https://ex.org/", "https://ex.org/"),
+        (4, "https://ex.org/b?fbclid=1", "https://ex.org/b"),
+        (5, "http://ex.org:8080/x", "http://ex.org:8080/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canon_url"] for r in canonicalize_urls(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_redact_pii(spark):
+    """Emails and NANP phones become typed placeholders; counts recorded
+    pre-redaction; clean text passes through unchanged."""
+    from indra_db_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or call 555-123-4567 today"),
+            (2, "nothing sensitive here"),
+            (3, "two mails: x@y.io and z@w.co"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["redacted"] == "mail [EMAIL] or call [PHONE] today"
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert got[2]["redacted"] == "nothing sensitive here"
+    assert got[3]["n_emails"] == 2
+    assert got[3]["redacted"] == "two mails: [EMAIL] and [EMAIL]"
+
+
 def test_winnow_via_paths_equal(spark):
     """winnow via='explode' (codegen-hash) == via='arrays' (no-shuffle),
     both hash families, including gram-less docs."""
