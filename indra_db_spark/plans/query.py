@@ -213,6 +213,29 @@ class Query:
             F.desc(sort_by), F.asc("mk_hash")
         )
 
+    def get_statements_json(self, ctx: QueryContext, **kwargs) -> DataFrame:
+        """(mk_hash, stmt_json) — the reference's JSON payload edge.
+
+        Internally statements are typed structs (G6: columnar wins);
+        ``to_json`` is applied ONLY at this serving boundary, mirroring
+        the reference's gzipped-JSON ``pa_statements.json`` payloads and
+        StatementQueryResult rendering ([P] client/readonly/query.py).
+        Accepts every get_statements kwarg (ev_limit/sort/pagination).
+        """
+        stmts = self.get_statements(ctx, **kwargs)
+        payload = F.struct(
+            F.col("matches_key"),
+            F.col("type"),
+            F.col("subj"),
+            F.col("obj"),
+            F.col("mods"),
+            F.col("ev_count"),
+            F.col("src_counts"),
+            F.col("belief"),
+            F.col("evidences"),
+        )
+        return stmts.select("mk_hash", F.to_json(payload).alias("stmt_json"))
+
     # ---- grouped result modes (query.py::Query.get_interactions /
     # get_relations / get_agents — same hash set, different final grouping)
     def get_interactions(self, ctx: QueryContext) -> DataFrame:

@@ -114,6 +114,23 @@ def test_set_ops(ctx):
     assert _hashes(~(a | t), ctx) == _hashes(~a & ~t, ctx)
 
 
+def test_get_statements_json_edge(ctx):
+    """r3: the JSON serving boundary (G6 — typed structs internally,
+    to_json only at the edge, the pa_statements.json payload analog):
+    payload round-trips and honours ev_limit."""
+    import json
+
+    q = HasAgent(namespace="HGNC", db_id="11998")
+    rows = q.get_statements_json(ctx, ev_limit=2, limit=3).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r["stmt_json"])
+        assert {"matches_key", "type", "subj", "obj", "ev_count"} <= set(doc)
+        assert len(doc.get("evidences") or []) <= 2
+        # the JSON edge agrees with the typed edge on the same hash
+        assert doc["matches_key"].startswith(doc["type"] + "(")
+
+
 def test_has_agent_agent_num_validated(ctx):
     """r3: agent_num outside the binary model {0, 1} raises (schemas.py
     two-agent invariant) instead of silently matching nothing."""
