@@ -708,7 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # enumerable driver-side, so the pair is exact)
         "kg_pipeline_interactions": _q_kg_pipeline,
         "kg_component_sizes": _q_kg_components,
-        # rows-only (stubbed media codec — env-blocked)
+        # hash-checked against the synth-media spec twin (the md5-stub
+        # feature VALUES remain pytest-only — codec env-blocked)
         "multimodal_features": _q_multimodal,
     }
 
@@ -1304,6 +1305,27 @@ def oracle_sql() -> dict[str, str]:
         # to full hash-checked pairs.
         "kg_pipeline_interactions": _kg_interactions_oracle(),
         "kg_component_sizes": _kg_components_oracle(),
+        # Multimodal plumbing twin: the deterministic synth_media spec is
+        # re-derived in SQL (kind cycle, payload length 16·(4+i%5),
+        # one distinct payload per item), verifying the Arrow mapInPandas
+        # plumbing end-to-end. The md5-stub feature VALUES stay
+        # pytest-covered (DuckDB's md5 cannot hash raw blobs).
+        "multimodal_features": """
+            WITH m AS (SELECT unnest(generate_series(0, 95)) AS i),
+            t AS (
+                SELECT i,
+                       CASE i % 3 WHEN 0 THEN 'image'
+                                  WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS kind,
+                       16 * (4 + i % 5) AS n_bytes
+                FROM m
+            )
+            SELECT kind,
+                   count(*)::BIGINT AS n_items,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS n_distinct
+            FROM t GROUP BY kind ORDER BY kind
+        """,
         "docs_repetition": f"""
             WITH base AS (
                 SELECT doc_id,
