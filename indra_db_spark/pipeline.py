@@ -232,13 +232,19 @@ def run_pipeline(
     )
     pa_base = res.tables["pa_statements_base"]
 
-    # ---- stage 3: refinement links
+    # ---- stage 3: refinement links (bucketed on the supported hash so
+    # the incremental supplement can rewrite only the buckets whose edge
+    # set changed — same contract as evidence days / pa buckets)
     fp_link = fingerprint("link", fp_pa, isa_sig, "v1")
     run_stage(
         "pa_link",
         fp_link,
-        lambda: {"link": refine_op.build_pa_link(pa_base, isa_closure)},
-        [("pa_link", "link", None)],
+        lambda: {
+            "link": refine_op.build_pa_link(pa_base, isa_closure).withColumn(
+                "bucket", F.pmod("supported_mk_hash", F.lit(PA_BUCKETS))
+            )
+        },
+        [("pa_link", "link", ["bucket"])],
     )
     pa_link = res.tables["pa_link"]
 

@@ -156,7 +156,11 @@ PA_STATEMENTS = T.StructType(
 )
 
 # pa_link analog of principal_schema.py::PASupportLinks
-# (supported = more general, supporting = more specific).
+# (supported = more general, supporting = more specific). The MATERIALIZED
+# table additionally carries ``bucket`` = pmod(supported_mk_hash, B) (the
+# Iceberg bucket-transform analog) so the incremental supplement rewrites
+# only the buckets whose edge set changed; logical consumers (belief, CC)
+# use the two hash columns only.
 PA_LINK = T.StructType(
     [
         T.StructField("supported_mk_hash", T.LongType(), False),

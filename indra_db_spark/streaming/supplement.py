@@ -45,6 +45,33 @@ from indra_db_spark.sources import storage
 from indra_db_spark.pipeline import PA_BUCKETS
 
 
+def _scoped_overwrite(
+    df: DataFrame,
+    table_path: str,
+    part_col: str,
+    scope_values: list,
+) -> None:
+    """Dynamic-partition-overwrite ``df`` (already restricted to the
+    ``scope_values`` partitions) into ``table_path``, dropping any scoped
+    partition whose every row vanished — dynamic overwrite can only
+    REPLACE partitions present in the frame, so an emptied partition
+    would otherwise survive as a stale directory (the shim analog of
+    Iceberg's delete-files). ``df`` must be materialized (checkpointed)
+    by the caller: the plan reads the very files this write deletes."""
+    import shutil
+
+    surviving = {r[part_col] for r in df.select(part_col).distinct().collect()}
+    for v in scope_values:
+        if v not in surviving:
+            shutil.rmtree(f"{table_path}/{part_col}={v}", ignore_errors=True)
+    storage.write_table(df, table_path, [part_col], mode="overwrite_partitions")
+
+
+def _partitioned_by(table_path: str, part_col: str) -> bool:
+    m = storage.read_manifest(table_path)
+    return bool(m) and m.get("partition_by") == [part_col]
+
+
 def supplement_corpus(
     spark: SparkSession,
     out_dir: str,
@@ -68,7 +95,8 @@ def supplement_corpus(
     path = lambda t: f"{out_dir}/{t}"
     old_raw = storage.read_table(spark, path("raw_statements")).drop("day")
     old_pa = storage.read_table(spark, path("pa_statements")).drop("bucket")
-    old_link = storage.read_table(spark, path("pa_link"))
+    # drop is a no-op on pre-bucketed corpora (the column appeared in r3)
+    old_link = storage.read_table(spark, path("pa_link")).drop("bucket")
 
     # 1-2. new raw batch, idempotent vs existing (deterministic raw_id).
     new_raw = ground_op.ground_statements(
@@ -216,22 +244,64 @@ def supplement_corpus(
         .unionByName(new_ev)
         .localCheckpoint()  # plan reads the files the write replaces
     )
-    # Dynamic overwrite can only REPLACE partitions present in the frame —
-    # a day whose every row was superseded (and gained no new rows) would
-    # otherwise survive as a stale directory. Drop those dirs explicitly
-    # (the shim analog of Iceberg's delete-files); merged_evidence is
-    # already materialized above, so deleting before the write is safe.
-    import shutil
-
-    surviving = {r["day"] for r in merged_evidence.select("day").distinct().collect()}
-    for r in aff_days.collect():
-        if r["day"] not in surviving:
-            shutil.rmtree(f"{path('evidence')}/day={r['day']}", ignore_errors=True)
-    storage.write_table(
-        merged_evidence, path("evidence"), ["day"], mode="overwrite_partitions"
+    _scoped_overwrite(
+        merged_evidence,
+        path("evidence"),
+        "day",
+        [r["day"] for r in aff_days.collect()],
     )
-    storage.write_table(merged_final, path("pa_statements"), ["bucket"])
-    storage.write_table(merged_link.select("supported_mk_hash", "supporting_mk_hash"), path("pa_link"), None)
+
+    # pa_statements: bucket-scoped rewrite. A pa row changes only when
+    # its hash is in the DIRTY set (affected content ∪ belief-dirty ⊇
+    # affected), so only buckets holding a dirty hash are rewritten —
+    # untouched bucket directories keep their files byte-for-byte, same
+    # contract as the evidence days above. Falls back to a full static
+    # overwrite for pre-r3 corpora whose table isn't bucket-partitioned.
+    if _partitioned_by(path("pa_statements"), "bucket"):
+        dirty_buckets = [
+            r["b"]
+            for r in dirty.select(
+                F.pmod("mk_hash", F.lit(PA_BUCKETS)).alias("b")
+            ).distinct().collect()
+        ]
+        _scoped_overwrite(
+            merged_final.where(F.col("bucket").isin(dirty_buckets)),
+            path("pa_statements"),
+            "bucket",
+            dirty_buckets,
+        )
+    else:
+        storage.write_table(merged_final, path("pa_statements"), ["bucket"])
+
+    # pa_link: bucket-scoped on pmod(supported_mk_hash) — the changed
+    # edge set is (removed ∪ added), both small-side by construction.
+    link_cols = ["supported_mk_hash", "supporting_mk_hash"]
+    merged_link_b = merged_link.select(*link_cols).withColumn(
+        "bucket", F.pmod("supported_mk_hash", F.lit(PA_BUCKETS))
+    ).localCheckpoint()
+    if _partitioned_by(path("pa_link"), "bucket"):
+        removed = old_link.join(merged_link.select(*link_cols), link_cols, "left_anti")
+        added = merged_link.select(*link_cols).join(old_link, link_cols, "left_anti")
+        link_buckets = [
+            r["b"]
+            for r in removed.unionByName(added)
+            .select(F.pmod("supported_mk_hash", F.lit(PA_BUCKETS)).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        _scoped_overwrite(
+            merged_link_b.where(F.col("bucket").isin(link_buckets)),
+            path("pa_link"),
+            "bucket",
+            link_buckets,
+        )
+    else:
+        storage.write_table(merged_link_b, path("pa_link"), ["bucket"])
+
+    # pa_groups stays a FULL rewrite by design: component ids are global
+    # labels (min hash of the component) — one new edge can merge two
+    # components and relabel members in arbitrary partitions, so no
+    # partition scoping is sound; the table is two longs per row.
     cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))
     storage.write_table(cc, path("pa_groups"), None)
     # The raw append is the COMMIT POINT and therefore the LAST write: a

@@ -105,17 +105,28 @@ def test_supplement_rewrites_only_affected_evidence_partitions(spark):
         run_pipeline(spark, pages, base, pages_fingerprint="part0",
                      source_expr=synth_source_expr)
 
-        def snap(day):
+        def snap(pattern, required=True):
             out = {}
-            for p in sorted(glob.glob(f"{base}/evidence/day={day}/*")):
+            for p in sorted(glob.glob(f"{base}/{pattern}/*")):
                 with open(p, "rb") as f:
-                    out[os.path.basename(p)] = (
+                    out[os.path.relpath(p, base)] = (
                         hashlib.md5(f.read()).hexdigest(), os.path.getmtime(p)
                     )
-            assert out, f"no files for day={day}"
+            if required:
+                assert out, f"no files for {pattern}"
             return out
 
-        before1, before2 = snap("2024-03-01"), snap("2024-03-02")
+        before1 = snap("evidence/day=2024-03-01")
+        before2 = snap("evidence/day=2024-03-02")
+        # pa_statements / pa_link are bucket-partitioned — snapshot every
+        # bucket dir; untouched ones must stay byte-identical too
+        pa_before = {
+            b: snap(f"pa_statements/bucket={b}", required=False)
+            for b in range(16)
+        }
+        link_before = {
+            b: snap(f"pa_link/bucket={b}", required=False) for b in range(16)
+        }
         reread = spark.createDataFrame(
             [("https://ex0.org/c", dt.datetime(2024, 3, 3), None,
               "AKT1GEN phosphorylates MTORGEN.", "en")],
@@ -124,8 +135,25 @@ def test_supplement_rewrites_only_affected_evidence_partitions(spark):
         tables = supplement_corpus(spark, base, reread, extractor_version="3.0",
                                    source_expr=synth_source_expr)
         # untouched partitions: identical content AND mtime (not rewritten)
-        assert snap("2024-03-01") == before1
-        assert snap("2024-03-02") == before2
+        assert snap("evidence/day=2024-03-01") == before1
+        assert snap("evidence/day=2024-03-02") == before2
+        # pa bucket scoping: only buckets holding a dirty hash rewritten —
+        # with 3 disjoint single-statement pages most buckets are untouched
+        pa_after = {
+            b: snap(f"pa_statements/bucket={b}", required=False)
+            for b in range(16)
+        }
+        pa_unchanged = sum(
+            1 for b in range(16) if pa_before[b] and pa_after[b] == pa_before[b]
+        )
+        pa_changed = sum(
+            1 for b in range(16) if pa_before[b] and pa_after[b] != pa_before[b]
+        )
+        assert pa_unchanged >= 1 and pa_changed >= 1, (pa_unchanged, pa_changed)
+        link_after = {
+            b: snap(f"pa_link/bucket={b}", required=False) for b in range(16)
+        }
+        assert all(link_after[b] == link_before[b] for b in range(16))
         # the affected day serves only the superseding (v3.0) reading
         day3 = tables["evidence"].where(F.col("day") == "2024-03-03").collect()
         assert {r["evidence_text"] for r in day3} == {
