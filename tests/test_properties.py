@@ -47,6 +47,27 @@ def test_mods_order_invariance(k1, k2, mods):
     )
 
 
+@given(
+    key,
+    st.permutations(
+        [("HGNC:1", True), ("HGNC:2", False), ("CHEBI:9", True)]
+    ),
+)
+@settings(max_examples=100)
+def test_bounds_order_invariance(k, bounds):
+    """BoundCondition listing order never splits agent keys (sorted fold,
+    r3), and each (entity, polarity) fold is distinct."""
+    from indra_db_spark.functions.hashing import agent_key_py
+
+    assert agent_key_py(k, bounds=list(bounds)) == agent_key_py(
+        k, bounds=sorted(bounds)
+    )
+    assert agent_key_py(k, bounds=[("HGNC:1", True)]) != agent_key_py(
+        k, bounds=[("HGNC:1", False)]
+    )
+    assert agent_key_py(k, bounds=[("HGNC:1", True)]) != agent_key_py(k)
+
+
 @given(text)
 @settings(max_examples=300)
 def test_normalize_idempotent(s):
