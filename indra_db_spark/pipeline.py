@@ -95,7 +95,8 @@ def run_pipeline(
         return f"{out_dir}/{table}"
 
     def run_stage(stage, fp, builder, table_specs):
-        """table_specs: (table_name, result_key, partition_cols[, sort_cols])."""
+        """table_specs: (table_name, result_key, partition_cols[, sort_cols
+        [, write_opts_dict]])."""
         if resume and log.completed(stage, fp):
             res.skipped.append(stage)
             for tbl, *_ in table_specs:
@@ -111,6 +112,7 @@ def run_pipeline(
                 outputs[key], path(tbl), part_cols,
                 compute_signature=signatures,
                 sort_by=rest[0] if rest else None,
+                **(rest[1] if len(rest) > 1 else {}),
             )
             rows_total += m.get("row_count", 0)
             extra[f"{tbl}_rows"] = m.get("row_count")
@@ -226,8 +228,12 @@ def run_pipeline(
             # evidence is day-partitioned (SURVEY §8.1 days(warc_ts)):
             # time-scoped serving reads prune whole crawl days, and the
             # incremental supplement rewrites only affected partitions
-            # instead of the whole table.
-            ("evidence", "ev", ["day"], ["mk_hash"]),
+            # instead of the whole table. input_clustered: evidence is a
+            # 1:1 projection of raw_statements READ BACK from its
+            # day-partitioned files, so rows already arrive day-grouped —
+            # the anti-small-file repartition would be a redundant full
+            # shuffle of the widest table in the pipeline.
+            ("evidence", "ev", ["day"], ["mk_hash"], {"input_clustered": True}),
         ],
     )
     pa_base = res.tables["pa_statements_base"]

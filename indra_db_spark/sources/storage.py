@@ -69,6 +69,7 @@ def write_table(
     compute_signature: bool = True,
     files_per_partition: int = 8,
     sort_by: list[str] | None = None,
+    input_clustered: bool = False,
 ) -> dict:
     """Write a table + manifest; returns the manifest dict.
 
@@ -76,10 +77,20 @@ def write_table(
     column stats then prune row groups for point lookups on those columns
     (the shim's stand-in for Iceberg sorted writes / Z-order; the
     reference builds btree indexes instead — schemas/indexes.py).
+
+    ``input_clustered``: the incoming partitioning already groups rows by
+    ``partition_by`` (e.g. the frame derives 1:1 from a table read back
+    from disk with the same partition layout) — skip the anti-small-file
+    repartition, saving a full shuffle of the table. Each task then
+    writes files only for the few partition values it actually holds.
     """
     from pyspark.sql import Observation
 
-    if partition_by:
+    if partition_by and input_clustered:
+        partitioning_needed = False
+    else:
+        partitioning_needed = bool(partition_by)
+    if partitioning_needed:
         # Cluster rows by partition value before a partitioned write:
         # otherwise every task emits one file per partition value
         # (tasks × values files) and the driver-side commit of thousands
