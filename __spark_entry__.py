@@ -619,14 +619,15 @@ def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_urls_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over a deterministic synthetic URL corpus
     built from the documents table — exercises every rule (case, default
-    ports, fragments, tracking params, trailing slash)."""
+    ports, fragments, tracking params, trailing-slash runs incl. the
+    bare-root case)."""
     from indra_db_spark.operators.textops import canonicalize_urls
 
     d = _load(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     u = (
         F.when(
-            F.col("doc_id") % 3 == 0,
+            F.col("doc_id") % 4 == 0,
             F.concat(
                 F.lit("HTTPS://Ex"), F.col("source"), F.lit(".ORG:443/Docs/"),
                 did, F.lit("/?utm_source=feed&id="), did,
@@ -634,13 +635,18 @@ def _q_urls_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            F.col("doc_id") % 3 == 1,
+            F.col("doc_id") % 4 == 1,
             F.concat(
-                F.lit("http://ex"), F.col("source"), F.lit(".org:80/a/"), did
+                F.lit("http://ex"), F.col("source"), F.lit(".org:80/a/"),
+                did, F.lit("//"),
             ),
         )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://EX.org/b/"), did, F.lit("?fbclid=abc")),
+        )
         .otherwise(
-            F.concat(F.lit("https://EX.org/b/"), did, F.lit("?fbclid=abc"))
+            F.concat(F.lit("HtTpS://Ex"), F.col("source"), F.lit(".Org/"))
         )
     )
     urls = d.select("doc_id", u.alias("url"))
@@ -649,8 +655,8 @@ def _q_urls_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a deterministic PII-bearing corpus derived from
-    the documents table: emails + NANP phones → typed placeholders with
-    per-doc match counts."""
+    the documents table: emails, NANP phones, US SSNs, IPv4 addresses and
+    IBANs → typed placeholders with per-doc per-family match counts."""
     from indra_db_spark.operators.textops import redact_pii
 
     d = _load(spark, sf_dir, "documents")
@@ -658,13 +664,17 @@ def _q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.concat(
         F.lit("contact user"), did, F.lit("@example.com"),
         F.when(
-            F.col("doc_id") % 2 == 0, F.lit(" or call 555-123-4567 now ")
-        ).otherwise(F.lit(" by mail ")),
+            F.col("doc_id") % 4 == 0, F.lit(" or call 555-123-4567 now ")
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" ssn 123-45-6789 on file "))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" from 10.0.0.1 at "))
+        .otherwise(F.lit(" iban DE44500105175407324931 ok ")),
         F.substring(F.col("text"), 1, 40),
     )
     corp = d.select("doc_id", t.alias("text"))
     return redact_pii(corp).select(
-        "doc_id", "n_emails", "n_phones", "redacted"
+        "doc_id", "n_emails", "n_ssns", "n_phones", "n_ipv4s", "n_ibans",
+        "redacted",
     ).orderBy("doc_id")
 
 
@@ -1360,12 +1370,14 @@ def oracle_sql() -> dict[str, str]:
             WITH urls AS (
                 SELECT doc_id,
                        CASE
-                         WHEN doc_id % 3 = 0 THEN
+                         WHEN doc_id % 4 = 0 THEN
                            'HTTPS://Ex' || source || '.ORG:443/Docs/' || doc_id::VARCHAR
                            || '/?utm_source=feed&id=' || doc_id::VARCHAR || '&utm_campaign=x#sec'
-                         WHEN doc_id % 3 = 1 THEN
-                           'http://ex' || source || '.org:80/a/' || doc_id::VARCHAR
-                         ELSE 'https://EX.org/b/' || doc_id::VARCHAR || '?fbclid=abc'
+                         WHEN doc_id % 4 = 1 THEN
+                           'http://ex' || source || '.org:80/a/' || doc_id::VARCHAR || '//'
+                         WHEN doc_id % 4 = 2 THEN
+                           'https://EX.org/b/' || doc_id::VARCHAR || '?fbclid=abc'
+                         ELSE 'HtTpS://Ex' || source || '.Org/'
                        END AS url
                 FROM documents
             ),
@@ -1385,7 +1397,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s4 AS (
                 SELECT doc_id, shp,
-                       regexp_replace(split_part(rest, '?', 1), '(.)/$', '\1') AS path,
+                       regexp_replace(split_part(rest, '?', 1), '/+$', '') AS path,
                        CASE WHEN strpos(rest, '?') > 0
                             THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
                 FROM s3
@@ -1410,9 +1422,12 @@ def oracle_sql() -> dict[str, str]:
             WITH corp AS (
                 SELECT doc_id,
                        'contact user' || doc_id::VARCHAR || '@example.com'
-                       || CASE WHEN doc_id % 2 = 0
-                               THEN ' or call 555-123-4567 now '
-                               ELSE ' by mail ' END
+                       || CASE
+                            WHEN doc_id % 4 = 0 THEN ' or call 555-123-4567 now '
+                            WHEN doc_id % 4 = 1 THEN ' ssn 123-45-6789 on file '
+                            WHEN doc_id % 4 = 2 THEN ' from 10.0.0.1 at '
+                            ELSE ' iban DE44500105175407324931 ok '
+                          END
                        || substr(text, 1, 40) AS text
                 FROM documents
             )
@@ -1421,12 +1436,25 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
                        AS n_emails,
                    len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b'))::INT AS n_ssns,
+                   len(regexp_extract_all(text,
                        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::INT AS n_phones,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT
+                       AS n_ipv4s,
+                   len(regexp_extract_all(text,
+                       '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b'))::INT AS n_ibans,
                    regexp_replace(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                           '[EMAIL]', 'g'),
-                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '[EMAIL]', 'g'),
+                           '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                     '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '[IBAN]', 'g')
                        AS redacted
             FROM corp
             ORDER BY doc_id

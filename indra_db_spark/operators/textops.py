@@ -293,10 +293,14 @@ def canonicalize_urls(
 ) -> DataFrame:
     """Common-Crawl-style URL canonicalization — the key step before any
     url-grain dedup or join: lowercase scheme+host, strip the fragment,
-    strip default ports, drop tracking params (utm_*, fbclid), strip a
-    trailing path slash. Pure column expressions (array HOFs for the
-    query-string filter); deterministic and engine-portable (the DuckDB
-    oracle mirrors it function-for-function).
+    strip default ports, drop tracking params (utm_*, fbclid), strip ALL
+    trailing path slashes — including the root slash, so ``https://host``
+    and ``https://host/`` (and ``/a//`` vs ``/a/``) canonicalize
+    identically (ADVICE r3: the one-slash rule left those distinct and
+    weakened the url-grain dedup this function exists to serve). Pure
+    column expressions (array HOFs for the query-string filter);
+    deterministic and engine-portable (the DuckDB oracle mirrors it
+    function-for-function).
     """
     u0 = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
     s1 = df.withColumn("_u", u0)
@@ -317,7 +321,7 @@ def canonicalize_urls(
     )
     s3 = (
         s2.withColumn("_shp", sh_port)
-        .withColumn("_path", F.regexp_replace(path, r"(.)/$", "$1"))
+        .withColumn("_path", F.regexp_replace(path, r"/+$", ""))
         .withColumn("_qs", qs)
     )
     kept = F.array_join(
@@ -341,31 +345,43 @@ def canonicalize_urls(
 
 
 # PII patterns — engine-portable (no lookaround; RE2-safe for the DuckDB
-# twin, Java-regex-safe for Spark).
-EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_PAT = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# twin, Java-regex-safe for Spark). Ordered dict = application order for
+# the sequential replace (families are pairwise non-overlapping: SSN is
+# 3-2-4 digits vs the phone's 3-3-4; an IPv4 octet run can never sit
+# inside a longer digit run thanks to the \b anchors; placeholders are
+# letter-only so later patterns never re-match an earlier replacement).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "emails": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssns": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phones": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    "ipv4s": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "ibans": (r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "[IBAN]"),
+}
+EMAIL_PAT = PII_PATTERNS["emails"][0]
+PHONE_PAT = PII_PATTERNS["phones"][0]
 
 
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:
-    """Training-data PII scrubbing: replace email addresses and
-    NANP-style phone numbers with typed placeholders, keeping per-doc
-    match counts (the audit trail a compliance pass needs). Regex-only —
-    scan speed, no shuffle; the patterns avoid lookaround so the DuckDB
-    oracle matches byte-for-byte.
+    """Training-data PII scrubbing: replace email addresses, NANP-style
+    phone numbers, US SSNs, IPv4 addresses, and IBAN-shaped account
+    numbers with typed placeholders, keeping per-doc per-family match
+    counts (``n_emails``/``n_ssns``/``n_phones``/``n_ipv4s``/``n_ibans``
+    — the audit trail a compliance pass needs; counts are taken against
+    the ORIGINAL text, replacement is sequential in ``PII_PATTERNS``
+    order). Regex-only — scan speed, no shuffle; the patterns avoid
+    lookaround so the DuckDB oracle matches byte-for-byte. Known
+    deliberate breadth: version-like strings (``1.2.3.4``) redact as
+    IPv4 — recall over precision, the usual compliance trade.
     """
     t = F.col(text_col)
-    return (
-        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_PAT)))
-        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_PAT)))
-        .withColumn(
-            out_col,
-            F.regexp_replace(
-                F.regexp_replace(t, EMAIL_PAT, "[EMAIL]"), PHONE_PAT, "[PHONE]"
-            ),
-        )
-    )
+    out = df
+    red = t
+    for fam, (pat, repl) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{fam}", F.regexp_count(t, F.lit(pat)))
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
 
 
 def curate_corpus(

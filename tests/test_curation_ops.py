@@ -511,17 +511,20 @@ def test_repetition_ratios(spark):
 
 def test_canonicalize_urls(spark):
     """URL canonicalization rules: case, default ports, fragment,
-    tracking params, trailing slash — non-default ports and the bare
-    root path survive."""
+    tracking params, trailing-slash runs (incl. the root slash, so
+    ``host`` == ``host/`` — ADVICE r3) — non-default ports survive."""
     from indra_db_spark.operators.textops import canonicalize_urls
 
     cases = [
         (1, "HTTPS://Ex.ORG:443/A/b/?utm_source=x&id=7&utm_campaign=y#frag",
          "https://ex.org/A/b?id=7"),
         (2, "http://ex.org:80/a/", "http://ex.org/a"),
-        (3, "https://ex.org/", "https://ex.org/"),
+        (3, "https://ex.org/", "https://ex.org"),
         (4, "https://ex.org/b?fbclid=1", "https://ex.org/b"),
         (5, "http://ex.org:8080/x", "http://ex.org:8080/x"),
+        (6, "https://ex.org", "https://ex.org"),
+        (7, "https://ex.org/a//", "https://ex.org/a"),
+        (8, "https://ex.org/a//b/", "https://ex.org/a//b"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "doc_id long, url string"
@@ -534,8 +537,10 @@ def test_canonicalize_urls(spark):
 
 
 def test_redact_pii(spark):
-    """Emails and NANP phones become typed placeholders; counts recorded
-    pre-redaction; clean text passes through unchanged."""
+    """Every PII family becomes its typed placeholder; per-family counts
+    recorded pre-redaction; clean text passes through unchanged; the
+    families never cross-match (SSN vs phone digit grouping, IPv4 octet
+    anchoring inside longer digit runs)."""
     from indra_db_spark.operators.textops import redact_pii
 
     df = spark.createDataFrame(
@@ -543,6 +548,8 @@ def test_redact_pii(spark):
             (1, "mail a.b+c@ex-ample.org or call 555-123-4567 today"),
             (2, "nothing sensitive here"),
             (3, "two mails: x@y.io and z@w.co"),
+            (4, "ssn 123-45-6789 host 10.0.0.255 acct DE44500105175407324931"),
+            (5, "phone 555.123.4567 is not an ip; 999-99-9999 is ssn-shaped"),
         ],
         "doc_id long, text string",
     )
@@ -552,6 +559,11 @@ def test_redact_pii(spark):
     assert got[2]["redacted"] == "nothing sensitive here"
     assert got[3]["n_emails"] == 2
     assert got[3]["redacted"] == "two mails: [EMAIL] and [EMAIL]"
+    assert got[4]["redacted"] == "ssn [SSN] host [IP] acct [IBAN]"
+    assert (got[4]["n_ssns"], got[4]["n_ipv4s"], got[4]["n_ibans"]) == (1, 1, 1)
+    assert got[4]["n_phones"] == 0
+    assert got[5]["redacted"] == "phone [PHONE] is not an ip; [SSN] is ssn-shaped"
+    assert (got[5]["n_phones"], got[5]["n_ipv4s"], got[5]["n_ssns"]) == (1, 0, 1)
 
 
 def test_winnow_via_paths_equal(spark):
