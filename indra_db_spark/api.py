@@ -167,6 +167,11 @@ def load_context(
     which EVERY serving query's mk_hash machinery (evidence hydration
     join, ev_limit window, the evidences groupBy) reads pre-clustered
     buckets with no Exchange (asserted in tests/test_bucketing.py).
+    Catalog names carry a short hash of the resolved ``out_dir``
+    (``pa_statements_srv_<h8>``) so two bucketed contexts for different
+    corpora can coexist in one session without silently repointing each
+    other's tables (ADVICE r3); re-loading the SAME out_dir reuses its
+    names (idempotent republish).
 
     The pipeline itself stays on the directory-partitioned shim: its own
     stages join on generalized agent keys (refine) or aggregate on
@@ -174,19 +179,25 @@ def load_context(
     write_bucketed_table form has no manifest/resume integration — the
     rationale recorded against VERDICT r2 #7.
     """
+    import hashlib
+    import os
+
     from indra_db_spark.sources import storage
 
     pa = storage.read_table(spark, f"{out_dir}/pa_statements").drop("bucket")
     ev = storage.read_table(spark, f"{out_dir}/evidence")
     if bucketed:
+        h8 = hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:8]
+        pa_name = f"pa_statements_srv_{h8}"
+        ev_name = f"evidence_srv_{h8}"
         storage.write_bucketed_table(
-            pa, "pa_statements_srv", buckets, "mk_hash", path=f"{out_dir}/_srv/pa"
+            pa, pa_name, buckets, "mk_hash", path=f"{out_dir}/_srv/pa"
         )
         storage.write_bucketed_table(
-            ev, "evidence_srv", buckets, "mk_hash", path=f"{out_dir}/_srv/ev"
+            ev, ev_name, buckets, "mk_hash", path=f"{out_dir}/_srv/ev"
         )
-        pa = spark.table("pa_statements_srv")
-        ev = spark.table("evidence_srv")
+        pa = spark.table(pa_name)
+        ev = spark.table(ev_name)
     return QueryContext(pa_statements=pa, evidence=ev)
 
 

@@ -55,6 +55,15 @@ def resolve_grounding_map(grounding_map: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast bound for the resolved grounding map (auto mode). A resolved
+# row is four short strings (~100 B serialized); 2M rows ≈ 200 MB — well
+# inside executor/driver budgets on any reasonable cluster, with headroom
+# under Spark's hard 8 GB broadcast-table limit. Beyond it the three
+# grounding joins fall back to Catalyst-planned shuffle joins: at that
+# map size the dim is no longer "small" and co-partitioning on the
+# normalized text is exactly what a 1000-executor plan should do.
+GROUNDING_BROADCAST_MAX_ROWS = 2_000_000
+
 _MUTS_DDL = "array<struct<position:string,residue_from:string,residue_to:string>>"
 _ACT_DDL = "struct<activity_type:string,is_active:boolean>"
 _BOUNDS_DDL = "array<struct<db_ns:string,db_id:string,name:string,is_bound:boolean>>"
@@ -107,7 +116,9 @@ def _agent_conditions(side: str):
     return muts, act, bounds
 
 
-def _ground_bound_text(df: DataFrame, resolved: DataFrame) -> DataFrame:
+def _ground_bound_text(
+    df: DataFrame, resolved: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Ground the subject's bound-condition entity text (one more
     broadcast join against the same resolved map the agent sides use)."""
     df = df.withColumn(
@@ -119,10 +130,12 @@ def _ground_bound_text(df: DataFrame, resolved: DataFrame) -> DataFrame:
         F.col("db_id").alias("_bound_id"),
         F.col("name").alias("_bound_name"),
     )
-    return df.join(F.broadcast(g), "_bound_norm", "left")
+    return df.join(F.broadcast(g) if broadcast else g, "_bound_norm", "left")
 
 
-def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
+def _ground_side(
+    df: DataFrame, resolved: DataFrame, side: str, broadcast: bool = True
+) -> DataFrame:
     norm = normalize_text_expr(F.col(f"{side}_text")).alias(f"_{side}_norm")
     df = df.withColumn(f"_{side}_norm", norm)
     g = resolved.select(
@@ -131,7 +144,7 @@ def _ground_side(df: DataFrame, resolved: DataFrame, side: str) -> DataFrame:
         F.col("db_id").alias(f"_{side}_id"),
         F.col("name").alias(f"_{side}_name"),
     )
-    df = df.join(F.broadcast(g), f"_{side}_norm", "left")
+    df = df.join(F.broadcast(g) if broadcast else g, f"_{side}_norm", "left")
     muts, act, bounds = _agent_conditions(side)
     agent = F.struct(
         F.col(f"{side}_text").alias("text"),
@@ -162,6 +175,7 @@ def ground_statements(
     extracted: DataFrame,
     grounding_map: DataFrame,
     source_expr: "Column | Callable[[Column], Column] | None" = None,
+    broadcast_map: bool | None = None,
 ) -> DataFrame:
     """Pre-grounding statement rows → ``raw_statements`` (SURVEY.md §8.1).
 
@@ -172,16 +186,27 @@ def ground_statements(
     ``source_expr``: evidence-source derivation — a Column, or a callable
     taking the url Column; default = the url host
     (:func:`default_source_expr`).
+
+    ``broadcast_map``: join strategy for the three grounding joins.
+    ``None`` (default) decides from the resolved map's row count against
+    :data:`GROUNDING_BROADCAST_MAX_ROWS` — a deployment-size grounding
+    map can exceed what a broadcast should carry, in which case the
+    explicit broadcast hint is dropped and Catalyst/AQE plan shuffle
+    joins on the normalized text key instead (results identical —
+    property-tested in tests/test_operators.py).
     """
-    # Materialize the resolved dim once (localCheckpoint): subj and obj
-    # grounding each build a broadcast from it, and without materialization
-    # each broadcast re-runs the resolution window job.
-    resolved = resolve_grounding_map(grounding_map).repartition(1).localCheckpoint()
+    # Materialize the resolved dim once (localCheckpoint): the three
+    # grounding joins each reference it, and without materialization each
+    # would re-run the resolution window job. The count used by the auto
+    # decision reads the checkpointed blocks, not the lineage.
+    resolved = resolve_grounding_map(grounding_map).localCheckpoint()
+    if broadcast_map is None:
+        broadcast_map = resolved.count() <= GROUNDING_BROADCAST_MAX_ROWS
     # Bound-condition entity grounding must precede the subj struct build
     # (the bounds array reads the _bound_* columns).
-    df = _ground_bound_text(extracted, resolved)
-    df = _ground_side(df, resolved, "subj")
-    df = _ground_side(df, resolved, "obj")
+    df = _ground_bound_text(extracted, resolved, broadcast_map)
+    df = _ground_side(df, resolved, "subj", broadcast_map)
+    df = _ground_side(df, resolved, "obj", broadcast_map)
     df = df.drop("_bound_norm", "_bound_ns", "_bound_id", "_bound_name")
 
     mods = F.when(

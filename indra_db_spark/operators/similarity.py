@@ -185,7 +185,23 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed into coarse cells; each query
     probes its ``n_probe`` nearest cells only. The cell equi-join replaces
-    the cross join — at scale the inverted lists are the partition layout."""
+    the cross join — at scale the inverted lists are the partition layout.
+
+    Measured recall@5 vs :func:`brute_force_topk` at trained centroids
+    (``train_centroids`` iters=3, 8 cells) on a seeded 400×16 corpus of
+    overlapping clusters (tests/test_curation_ops.py::
+    test_ivf_recall_vs_brute_force — floors pinned slightly below):
+
+    ========  =========
+    n_probe   recall@5
+    ========  =========
+    1         0.910
+    2         0.980
+    4         1.000
+    ========  =========
+
+    Recall is monotone in ``n_probe`` (probed cells nest; scoring within
+    the candidate set is exact)."""
     cents = centroids or train_centroids(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "cell"

@@ -16,9 +16,10 @@ Scale notes: state is hash-partitioned by the grouping key across
 executors (RocksDB state store in production — set
 `spark.sql.streaming.stateStore.providerClass`); the operator never
 shuffles history, only the incoming micro-batch. Watermark-based state
-TTL (`GroupStateTimeout.EventTimeTimeout`) is the knob for bounded state
-when keys are known to stop recurring; crawl dedup wants unbounded
-retention, so the default here is NoTimeout.
+TTL is WIRED via ``ttl_seconds`` (`GroupStateTimeout.EventTimeTimeout`,
+sliding per-key expiry — eviction/re-admission pinned by test): the knob
+for bounded state when keys stop recurring. Crawl dedup wants unbounded
+retention, so the default stays NoTimeout.
 """
 
 from __future__ import annotations
@@ -53,50 +54,93 @@ def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "fp_hash",
     ts_col: str = "warc_ts",
+    ttl_seconds: int | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """stream(url, <ts_col>, <key_col>) → first occurrence per key, ever.
 
     Within a micro-batch the earliest (ts, url) row wins (deterministic
     under re-execution); rows for keys whose state already exists are
     dropped and counted into the state's ``n_dups``.
+
+    ``ttl_seconds``: bounded-state mode. When set, the stream gets an
+    event-time watermark (``watermark_delay`` behind max event time) and
+    each key's state carries an ``EventTimeTimeout`` of ``ttl_seconds``
+    past the key's latest sighting (sliding TTL — every recurrence
+    extends it). Once the watermark passes that timestamp the state row
+    is evicted, so state size is bounded by the keys active inside one
+    TTL window instead of all keys ever (the RocksDB-provider companion
+    knob for 10^12-key crawls). Trade-off, stated plainly: a duplicate
+    that recurs after ``ttl_seconds`` of silence is re-emitted as if
+    new. Eviction + re-admission + unchanged in-window dedup are pinned
+    by tests/test_streaming_state.py::test_streaming_ttl_evicts_state.
+    Default (None) keeps the unbounded first-seen-forever semantics.
     """
     out_schema = _output_schema(ts_col)
+    use_ttl = ttl_seconds is not None
 
     def dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()  # watermark passed last sighting + TTL
+            return iter(())
         first: pd.DataFrame | None = None
         n_new = 0
+        max_ts_ms: int | None = None
         for pdf in pdfs:
             if pdf.empty:
                 continue
             n_new += len(pdf)
+            batch_max = int(pdf[ts_col].max().value // 10**6)
+            max_ts_ms = (
+                batch_max if max_ts_ms is None else max(max_ts_ms, batch_max)
+            )
             head = pdf.sort_values([ts_col, "url"], kind="mergesort").head(1)
             if first is None or (
                 tuple(head.iloc[0][[ts_col, "url"]])
                 < tuple(first.iloc[0][[ts_col, "url"]])
             ):
                 first = head
+
+        def set_ttl() -> None:
+            if use_ttl and max_ts_ms is not None:
+                # must stay strictly above the current watermark or Spark
+                # rejects the timestamp (late rows can put sighting+TTL
+                # behind it)
+                state.setTimeoutTimestamp(
+                    max(
+                        max_ts_ms + int(ttl_seconds) * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         if state.exists:
             first_seen, n_dups = state.get
             state.update((first_seen, n_dups + n_new))
+            set_ttl()
             return iter(())  # all duplicates of an earlier batch
         if first is None:
             return iter(())
         state.update(
             (int(first.iloc[0][ts_col].value // 10**9), n_new - 1)
         )
+        set_ttl()
         return iter([first[["fp_hash", "url", ts_col]]])
 
-    keyed = stream.select(
-        F.col(key_col).alias("fp_hash"), "url", F.col(ts_col)
-    ).groupBy("fp_hash")
-    return keyed.applyInPandasWithState(
+    src = stream.select(F.col(key_col).alias("fp_hash"), "url", F.col(ts_col))
+    if use_ttl:
+        src = src.withWatermark(ts_col, watermark_delay)
+    return src.groupBy("fp_hash").applyInPandasWithState(
         dedup,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

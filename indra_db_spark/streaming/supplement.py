@@ -72,6 +72,38 @@ def _partitioned_by(table_path: str, part_col: str) -> bool:
     return bool(m) and m.get("partition_by") == [part_col]
 
 
+def _require_current_layout(spark: SparkSession, out_dir: str) -> None:
+    """Fail fast on corpora built before the current (r3) schema.
+
+    A pre-r3 corpus lacks the ``bounds`` agent-struct field, the evidence
+    ``day`` partitioning, and the pa bucket partitioning; supplementing
+    one would die mid-merge with an opaque AnalysisException (or worse,
+    rewrite the wrong partitions). Schema-aligning on read is not sound
+    either: the r3 BoundCondition grammar changes matches-keys, so the
+    old pa rows would no longer agree with a rebuild. The only correct
+    path is a full rebuild — say so explicitly (ADVICE r3)."""
+    problems = []
+    raw = storage.read_table(spark, f"{out_dir}/raw_statements")
+    subj_fields = [f.name for f in raw.schema["subj"].dataType.fields]
+    if "bounds" not in subj_fields:
+        problems.append(
+            "raw_statements.subj lacks the 'bounds' condition field"
+        )
+    for table, col in (
+        ("evidence", "day"),
+        ("pa_statements", "bucket"),
+        ("pa_link", "bucket"),
+    ):
+        if not _partitioned_by(f"{out_dir}/{table}", col):
+            problems.append(f"{table} is not partitioned by '{col}'")
+    if problems:
+        raise ValueError(
+            f"corpus at {out_dir} predates the current schema "
+            f"({'; '.join(problems)}); supplement_corpus cannot merge into "
+            "it — rebuild the corpus with pipeline.run_pipeline first"
+        )
+
+
 def supplement_corpus(
     spark: SparkSession,
     out_dir: str,
@@ -92,10 +124,10 @@ def supplement_corpus(
     )
     priors = priors if priors is not None else dims_mod.source_priors_df(spark)
 
+    _require_current_layout(spark, out_dir)  # pre-r3 corpus → rebuild
     path = lambda t: f"{out_dir}/{t}"
     old_raw = storage.read_table(spark, path("raw_statements")).drop("day")
     old_pa = storage.read_table(spark, path("pa_statements")).drop("bucket")
-    # drop is a no-op on pre-bucketed corpora (the column appeared in r3)
     old_link = storage.read_table(spark, path("pa_link")).drop("bucket")
 
     # 1-2. new raw batch, idempotent vs existing (deterministic raw_id).
@@ -255,23 +287,20 @@ def supplement_corpus(
     # its hash is in the DIRTY set (affected content ∪ belief-dirty ⊇
     # affected), so only buckets holding a dirty hash are rewritten —
     # untouched bucket directories keep their files byte-for-byte, same
-    # contract as the evidence days above. Falls back to a full static
-    # overwrite for pre-r3 corpora whose table isn't bucket-partitioned.
-    if _partitioned_by(path("pa_statements"), "bucket"):
-        dirty_buckets = [
-            r["b"]
-            for r in dirty.select(
-                F.pmod("mk_hash", F.lit(PA_BUCKETS)).alias("b")
-            ).distinct().collect()
-        ]
-        _scoped_overwrite(
-            merged_final.where(F.col("bucket").isin(dirty_buckets)),
-            path("pa_statements"),
-            "bucket",
-            dirty_buckets,
-        )
-    else:
-        storage.write_table(merged_final, path("pa_statements"), ["bucket"])
+    # contract as the evidence days above. (Non-bucketed corpora are
+    # rejected up front by _require_current_layout.)
+    dirty_buckets = [
+        r["b"]
+        for r in dirty.select(
+            F.pmod("mk_hash", F.lit(PA_BUCKETS)).alias("b")
+        ).distinct().collect()
+    ]
+    _scoped_overwrite(
+        merged_final.where(F.col("bucket").isin(dirty_buckets)),
+        path("pa_statements"),
+        "bucket",
+        dirty_buckets,
+    )
 
     # pa_link: bucket-scoped on pmod(supported_mk_hash) — the changed
     # edge set is (removed ∪ added), both small-side by construction.
@@ -279,24 +308,21 @@ def supplement_corpus(
     merged_link_b = merged_link.select(*link_cols).withColumn(
         "bucket", F.pmod("supported_mk_hash", F.lit(PA_BUCKETS))
     ).localCheckpoint()
-    if _partitioned_by(path("pa_link"), "bucket"):
-        removed = old_link.join(merged_link.select(*link_cols), link_cols, "left_anti")
-        added = merged_link.select(*link_cols).join(old_link, link_cols, "left_anti")
-        link_buckets = [
-            r["b"]
-            for r in removed.unionByName(added)
-            .select(F.pmod("supported_mk_hash", F.lit(PA_BUCKETS)).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        _scoped_overwrite(
-            merged_link_b.where(F.col("bucket").isin(link_buckets)),
-            path("pa_link"),
-            "bucket",
-            link_buckets,
-        )
-    else:
-        storage.write_table(merged_link_b, path("pa_link"), ["bucket"])
+    removed = old_link.join(merged_link.select(*link_cols), link_cols, "left_anti")
+    added = merged_link.select(*link_cols).join(old_link, link_cols, "left_anti")
+    link_buckets = [
+        r["b"]
+        for r in removed.unionByName(added)
+        .select(F.pmod("supported_mk_hash", F.lit(PA_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    _scoped_overwrite(
+        merged_link_b.where(F.col("bucket").isin(link_buckets)),
+        path("pa_link"),
+        "bucket",
+        link_buckets,
+    )
 
     # pa_groups stays a FULL rewrite by design: component ids are global
     # labels (min hash of the component) — one new edge can merge two

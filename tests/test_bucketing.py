@@ -76,13 +76,17 @@ def test_serving_context_bucketed_swap(spark):
     """api.load_context(bucketed=True) — the pg_restore-swap analog:
     registers the corpus as mk_hash-bucketed catalog tables; serving
     aggregations on mk_hash run exchange-free and query results match the
-    plain-parquet context exactly."""
+    plain-parquet context exactly. Table names are derived from the
+    out_dir (ADVICE r3), so a SECOND bucketed context for a different
+    corpus registers under different names and does not repoint or break
+    the first."""
     import tempfile
 
     from indra_db_spark.api import load_context, run_query
     from indra_db_spark.pipeline import run_pipeline
 
     base = tempfile.mkdtemp(prefix="kg_srv_")
+    base2 = tempfile.mkdtemp(prefix="kg_srv2_")
     try:
         run_pipeline(
             spark, synth_pages(spark, 120, seed=42), base,
@@ -104,10 +108,29 @@ def test_serving_context_bucketed_swap(spark):
             for r in run_query(params, bucket_ctx).collect()
         ]
         assert got == want and got
+        # second corpus, second bucketed context: distinct catalog names,
+        # first context still answers identically afterwards
+        run_pipeline(
+            spark, synth_pages(spark, 60, seed=7), base2,
+            pages_fingerprint="srv1", source_expr=synth_source_expr,
+        )
+        bucket_ctx2 = load_context(spark, base2, bucketed=True)
+        srv_tables = {
+            t.name for t in spark.catalog.listTables() if "_srv_" in t.name
+        }
+        assert len(srv_tables) == 4, srv_tables  # 2 corpora × (pa, ev)
+        again = [
+            (r["mk_hash"], r["ev_count"], len(r["evidences"]))
+            for r in run_query(params, bucket_ctx).collect()
+        ]
+        assert again == want
+        assert bucket_ctx2.pa_statements.count() > 0
     finally:
-        for t in ("pa_statements_srv", "evidence_srv"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for t in spark.catalog.listTables():
+            if "_srv_" in t.name:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(base2, ignore_errors=True)
 
 
 def test_bucketed_values_roundtrip(spark, warehouse):

@@ -474,3 +474,49 @@ def test_refinement_mutant_supports_bare(spark):
     # bare (2) is supported by all condition-bearing variants; active and
     # inactive are incompatible with each other
     assert links == {(2, 1), (2, 3), (2, 4)}
+
+
+def test_ground_statements_shuffle_fallback_equals_broadcast(spark, monkeypatch):
+    """An over-threshold grounding map must not be broadcast: with the
+    hint dropped (broadcast_map=False, or auto mode over a forced-tiny
+    GROUNDING_BROADCAST_MAX_ROWS) the three grounding joins plan as
+    shuffle joins and produce byte-identical raw statements."""
+    from indra_db_spark.operators import grounding as g_mod
+
+    extracted = extract_statements(synth_pages(spark, 60, seed=42))
+    gm = dims.grounding_map_df(spark)
+
+    def snap(df):
+        return sorted(
+            (r["raw_id"], r["mk_hash"], r["subj"]["db_ns"], r["subj"]["db_id"],
+             r["obj"]["db_ns"], r["obj"]["db_id"], r["matches_key"])
+            for r in df.collect()
+        )
+
+    bcast = ground_statements(
+        extracted, gm, source_expr=synth_source_expr, broadcast_map=True
+    )
+    want = snap(bcast)
+    assert want
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = ground_statements(
+            extracted, gm, source_expr=synth_source_expr, broadcast_map=False
+        )
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert snap(shuf) == want
+        # auto mode: a map bigger than the bound flips to the fallback
+        monkeypatch.setattr(g_mod, "GROUNDING_BROADCAST_MAX_ROWS", 0)
+        auto = g_mod.ground_statements(
+            extracted, gm, source_expr=synth_source_expr
+        )
+        assert "BroadcastHashJoin" not in (
+            auto._jdf.queryExecution().executedPlan().toString()
+        )
+        assert snap(auto) == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

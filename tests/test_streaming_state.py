@@ -69,3 +69,59 @@ def test_batch_twin_tiebreak(spark):
     ).withColumn("warc_ts", F.to_timestamp(F.lit("2026-01-01")))
     got = batch_first_seen(df).collect()
     assert len(got) == 1 and got[0]["url"] == "a"  # (ts, url) min wins
+
+
+def _ts_rows(spark, specs):
+    """specs = [(url, fp, 'YYYY-MM-DD')]"""
+    return spark.createDataFrame(
+        [(u, f, t) for u, f, t in specs], "url string, fp_hash long, d string"
+    ).select("url", "fp_hash", F.to_timestamp("d").alias("warc_ts"))
+
+
+def test_streaming_ttl_evicts_state(spark, tmp_path):
+    """ttl_seconds bounds the state store: keys silent for longer than the
+    TTL (in event time, against the watermark) are evicted — the state
+    row count DROPS across runs — while in-window dedup is unchanged and
+    a recurrence of a refreshed (sliding-TTL) key stays suppressed. An
+    evicted key that recurs is re-emitted: the documented bounded-state
+    trade."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ttl = 10 * 24 * 3600  # 10 days of event time
+
+    def run(batch):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "url string, fp_hash long, warc_ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_first_seen(stream, ttl_seconds=ttl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q.lastProgress["stateOperators"][0]["numRowsTotal"]
+
+    # run1: keys 10, 30 at Jan 1 -> both emitted, 2 state rows
+    n1 = run(_ts_rows(spark, [("u1", 10, "2026-01-01"), ("u2", 30, "2026-01-01")]))
+    assert sorted(r["fp_hash"] for r in spark.read.parquet(out).collect()) == [10, 30]
+    assert n1 == 2
+    # run2: duplicate 30 + new 40 at Feb 1. The data batch still runs at
+    # the ~Jan 1 watermark (30 suppressed in-window, its TTL slides to
+    # Feb 11), then the advanced watermark (Feb 1 - 1h) triggers Spark's
+    # trailing no-data batch, which times out key 10 (Jan 11) — the
+    # eviction lands within this run: state drops to {30, 40}
+    n2 = run(_ts_rows(spark, [("u3", 30, "2026-02-01"), ("u4", 40, "2026-02-01")]))
+    assert sorted(r["fp_hash"] for r in spark.read.parquet(out).collect()) == [10, 30, 40]
+    assert n2 == 2
+    # run3: new 50 at Feb 2; refreshed 30 (Feb 11) and 40 survive
+    n3 = run(_ts_rows(spark, [("u5", 50, "2026-02-02")]))
+    assert n3 == 3  # 30, 40, 50 — key 10's row stays gone
+    # run4: evicted key 10 recurs -> re-emitted; refreshed 30 still deduped
+    run(_ts_rows(spark, [("u6", 10, "2026-02-03"), ("u7", 30, "2026-02-03")]))
+    got = sorted(r["fp_hash"] for r in spark.read.parquet(out).collect())
+    assert got == [10, 10, 30, 40, 50]

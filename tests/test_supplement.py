@@ -348,3 +348,28 @@ def test_append_manifest_row_count_accumulates(spark, tmp_path):
     m = read_manifest(path)
     assert m["row_count"] == 12
     assert spark.read.parquet(path).count() == 12
+
+
+def test_supplement_rejects_pre_r3_corpus(spark):
+    """A corpus missing the current layout markers (evidence day
+    partitioning doctored away here) is rejected up front with an
+    explicit rebuild-required error instead of dying mid-merge with an
+    AnalysisException or rewriting the wrong partitions (ADVICE r3)."""
+    import json
+
+    base = tempfile.mkdtemp(prefix="kg_prer3_")
+    try:
+        pages = synth_pages(spark, 40, seed=11)
+        run_pipeline(spark, pages, base, pages_fingerprint="pr0",
+                     source_expr=synth_source_expr)
+        mpath = f"{base}/evidence/_table_manifest.json"
+        with open(mpath) as f:
+            m = json.load(f)
+        m["partition_by"] = []
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        with pytest.raises(ValueError, match="rebuild"):
+            supplement_corpus(spark, base, pages,
+                              source_expr=synth_source_expr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
