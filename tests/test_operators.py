@@ -520,3 +520,57 @@ def test_ground_statements_shuffle_fallback_equals_broadcast(spark, monkeypatch)
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_connected_components_vs_union_find_oracle(spark):
+    """r4 convergence rework (observed signature + gated star-forest
+    test, large-star dedup deferred): labels equal a driver-side
+    union-find oracle on adversarial shapes, and the star-test gating is
+    bounded — a constant-count pure chain pays ONE test, not one per
+    round (the regression the gate exists to prevent)."""
+    import random
+
+    from indra_db_spark.operators.components import connected_components
+
+    def naive_cc(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(17)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(300)],
+        "stars": [(h, h * 100 + i) for h in range(5) for i in range(1, 30)],
+        "rand": [(rng.randrange(500), rng.randrange(500)) for _ in range(900)],
+        "selfloops": [(1, 1), (2, 3), (3, 2), (4, 5)],
+        "oriented_forest": [(i, 0) for i in range(1, 40)],
+    }
+    for name, es in graphs.items():
+        df = spark.createDataFrame(
+            es, "supported_mk_hash long, supporting_mk_hash long"
+        )
+        want = naive_cc(es)
+        want = {
+            k: v for k, v in want.items()
+            if any(a != b for a, b in es if k in (a, b))
+        }
+        st = {}
+        cc = connected_components(df, stats=st)
+        got = {r["mk_hash"]: r["component_id"] for r in cc.collect()}
+        assert got == want, (name, len(got), len(want))
+        if name == "chain":
+            assert st["star_tests"] <= 1, st  # gate bound on chains
+        if name == "oriented_forest":
+            assert st["rounds"] == 1, st  # star test ends it immediately

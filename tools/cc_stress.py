@@ -60,6 +60,7 @@ def main() -> None:
                 "n_nodes": n_nodes_seen,
                 "n_components": n_comp,
                 "rounds": stats.get("rounds"),
+                "star_tests": stats.get("star_tests"),
                 "wall_sec": round(wall, 2),
                 "edges_per_sec": round(stats.get("edges_in", 0) / wall, 1),
                 "checkpoint": mode,
