@@ -195,8 +195,13 @@ def minhash_lsh_candidates(
     ).withColumn("bucket", F.xxhash64(F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
     a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
     b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
+    # merge hint: a banded self-join side is never legitimately broadcast
+    # at corpus scale, but Catalyst's size estimate of the aggregate
+    # output can undershoot and pick one — building that broadcast
+    # collects the whole side to the driver (observed: driver
+    # maxResultSize abort at 8M docs). Pin the shuffle join.
     return (
-        a.join(b, "bucket")
+        a.join(b.hint("merge"), "bucket")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
@@ -305,10 +310,14 @@ def dedup_clusters(
         )
         a = sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
         b = sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+        # merge hint: the per-doc shingle-SET side is arrays of strings —
+        # the optimizer's row-size estimate for aggregated array columns
+        # undershoots badly, and a mis-chosen broadcast build collects
+        # gigabytes to the driver at corpus scale (observed at 8M docs).
         scored = (
             cands.select("doc_a", "doc_b")
-            .join(a, "doc_a")
-            .join(b, "doc_b")
+            .join(a.hint("merge"), "doc_a")
+            .join(b.hint("merge"), "doc_b")
             .withColumn(
                 "_jac",
                 F.round(

@@ -31,6 +31,9 @@ import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # running as `python tools/scaling_bench.py`
+# puts tools/ (not the repo root) on sys.path — the in-process imports
+# (corpus_fingerprint, gen_pages) need the package importable
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
@@ -136,7 +139,9 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # write the fresh table to a scratch file — BENCH/BASELINE.md is a
+    # curated document carrying multi-round history; merge by hand
+    md = os.path.join(REPO, "BENCH", "scaling_latest.md")
     stage_rows = "\n".join(
         f"| {s} | {summary['stages_n'].get(s)} | {summary['stages_4n'].get(s)} |"
         for s in summary["stages_4n"]
