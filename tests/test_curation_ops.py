@@ -710,3 +710,40 @@ def test_ivf_recall_vs_brute_force(spark):
         )
         assert recalls[probe] >= floor, (probe, recalls[probe])
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
+
+
+def test_dedup_clusters_collapse_exact_equals_uncollapsed(spark):
+    """collapse_exact (LSH on one representative per distinct normalized
+    text, re-expanded after CC) must be a pure optimization: identical
+    clusters to the uncollapsed run on a corpus mixing exact dups,
+    case/whitespace dups, near dups, singleton exact groups, and
+    unrelated docs — including a multi-member exact group with no LSH
+    neighbor (a cluster of its own) and an exact group whose rep links
+    to a near-dup (whole group joins that cluster)."""
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    lonely = "an isolated pair of identical documents with no neighbors at all"
+    rows = [
+        (1, base), (2, base), (3, "  The   Quick  Brown Fox jumps over the lazy dog again and again "),
+        (4, near),
+        (5, lonely), (6, lonely),
+        (7, "completely unrelated text about spark engines and cluster scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(collapse):
+        return sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup_clusters(
+                docs, method="minhash_lsh", threshold=0.5,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    got, want = snap(True), snap(False)
+    assert got == want, (got, want)
+    assert (5, 5) in got and (6, 5) in got  # edge-less exact group kept
+    assert (4, 1) in got  # near-dup joins the rep's cluster
+    assert all(d != 7 for d, _ in got)  # singleton stays absent

@@ -68,46 +68,72 @@ def main() -> None:
     corpus = spark.read.parquet(scratch)
     n_docs = corpus.count()
 
-    # band-bucket skew: the distribution the LSH equi-join actually sees
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(corpus, num_hashes=num_hashes)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+    # exact-collapse representatives: what the LSH join sees when
+    # dedup_clusters(collapse_exact=True) runs — one doc per distinct
+    # normalized text
+    from indra_db_spark.functions.hashing import fold_md5_64
+    from indra_db_spark.functions.textnorm import collapse_ws_expr
+
+    reps = (
+        corpus.groupBy(fold_md5_64(collapse_ws_expr(F.col("text"))).alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_fp")
+    )
+    n_reps = reps.count()
+
+    def bucket_stats(docs):
+        rows_per_band = num_hashes // bands
+        sig = minhash_signatures(docs, num_hashes=num_hashes)
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "band_sig"),
+        ).withColumn(
+            "bucket",
+            F.xxhash64(
+                F.col("band"),
+                F.concat_ws(
+                    ",", F.transform("band_sig", lambda x: x.cast("string"))
                 ),
-            )
-        ).alias("band", "band_sig"),
-    ).withColumn(
-        "bucket",
-        F.xxhash64(
-            F.col("band"),
-            F.concat_ws(
-                ",", F.transform("band_sig", lambda x: x.cast("string"))
             ),
-        ),
-    )
-    t0 = time.time()
-    bstats = (
-        banded.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.max("sz").alias("max_sz"),
-            F.avg("sz").alias("mean_sz"),
-            F.expr("percentile_approx(sz, 0.99)").alias("p99_sz"),
-            F.sum(F.expr("sz * (sz - 1) / 2")).alias("pair_budget"),
         )
-        .collect()[0]
-    )
-    bucket_wall = time.time() - t0
+        b = (
+            banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("sz").alias("max_sz"),
+                F.avg("sz").alias("mean_sz"),
+                F.expr("percentile_approx(sz, 0.99)").alias("p99_sz"),
+                F.sum(F.expr("sz * (sz - 1) / 2")).alias("pair_budget"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_buckets": int(b["n_buckets"]),
+            "max_size": int(b["max_sz"]),
+            "mean_size": round(float(b["mean_sz"]), 3),
+            "p99_size": int(b["p99_sz"]),
+            "skew_max_over_mean": round(b["max_sz"] / b["mean_sz"], 1),
+            "candidate_pair_budget": int(b["pair_budget"]),
+        }
 
     t0 = time.time()
+    raw_buckets = bucket_stats(corpus)
+    rep_buckets = bucket_stats(reps)
+    bucket_wall = time.time() - t0
+
+    # candidates over the COLLAPSED reps — the join dedup_clusters
+    # actually runs with collapse_exact=True (the default)
+    t0 = time.time()
     cands = minhash_lsh_candidates(
-        corpus, num_hashes=num_hashes, bands=bands
+        reps, num_hashes=num_hashes, bands=bands
     ).localCheckpoint()
     n_cands = cands.count()
     cand_wall = time.time() - t0
@@ -117,7 +143,7 @@ def main() -> None:
     # tells how much of the candidate join was wasted work
     t0 = time.time()
     sets = (
-        word_shingles(corpus)
+        word_shingles(reps)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("_sh"))
     )
@@ -151,18 +177,11 @@ def main() -> None:
             {
                 "n_pages": n_pages,
                 "n_docs": n_docs,
+                "n_exact_reps": n_reps,
                 "num_hashes": num_hashes,
                 "bands": bands,
-                "bucket_stats": {
-                    "n_buckets": int(bstats["n_buckets"]),
-                    "max_size": int(bstats["max_sz"]),
-                    "mean_size": round(float(bstats["mean_sz"]), 3),
-                    "p99_size": int(bstats["p99_sz"]),
-                    "skew_max_over_mean": round(
-                        bstats["max_sz"] / bstats["mean_sz"], 1
-                    ),
-                    "candidate_pair_budget": int(bstats["pair_budget"]),
-                },
+                "bucket_stats_raw_corpus": raw_buckets,
+                "bucket_stats_collapsed_reps": rep_buckets,
                 "candidate_pairs": n_cands,
                 "surviving_pairs": surv,
                 "residual_survival_frac": round(surv / max(1, n_cands), 4),
