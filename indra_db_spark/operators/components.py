@@ -68,15 +68,31 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 
 
 def _is_star_forest(e: DataFrame) -> bool:
-    """Direct convergence test: the directed (big→small) edge set is a
-    star forest iff no node appears both as a source and as a target —
-    a chain would have a middle node on both sides, and a two-level
-    forest is a fixpoint of both stars. True on a round's output ⇒ the
-    next alternation would be a no-op, so the loop can stop one full
-    round earlier than the signature-stability rule alone allows."""
-    return e.select("v").join(
-        e.select(F.col("u").alias("v")), "v", "left_semi"
-    ).isEmpty()
+    """Direct convergence test: the directed (node→root) edge set is a
+    star forest iff BOTH hold —
+
+    1. no node appears as a source and as a target (height ≤ 1: a chain
+       would have a middle node on both sides), and
+    2. every source has exactly ONE parent (``e`` is distinct after
+       small-star, so one row per (u, v): count per u == 1).
+
+    Rule 1 alone is NOT sufficient (ADVICE r4, high): on edges
+    (4,5),(1,5),(2,6),(4,6) the round-1 output has height ≤ 1 but node 4
+    points at two different roots — accepting it splits the component
+    and fans out every downstream join. Both rules in ONE aggregation
+    (union + groupBy on the node id — one shuffle, same cost as the old
+    semi-join): flag any node that is a multi-parent source or a
+    source-and-target. True on a round's output ⇒ the next alternation
+    would be a no-op, so the loop can stop one full round earlier than
+    the signature-stability rule alone allows."""
+    bad = (
+        e.select(F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t"))
+        .union(e.select(F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t")))
+        .groupBy("n")
+        .agg(F.sum("s").alias("ns"), F.max("t").alias("nt"))
+        .where((F.col("ns") > 1) | ((F.col("ns") > 0) & (F.col("nt") > 0)))
+    )
+    return bad.isEmpty()
 
 
 def connected_components(

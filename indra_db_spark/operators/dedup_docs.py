@@ -295,11 +295,18 @@ def dedup_clusters(
     at crawl dup rates they ARE the hot LSH buckets, and a b-member
     exact group contributes b·(b−1)/2 candidate pairs per band for zero
     information (measured at 7.5M synth docs: max bucket 1,901 vs mean
-    1.02, skew 1865×; collapsed: the hot buckets vanish). Results are
-    IDENTICAL with or without (every member is J=1.0 with its
-    representative, so the expanded component equals the uncollapsed
-    one; property-tested), which is why it defaults on — the classic
-    exact-before-fuzzy dedup ordering.
+    1.02, skew 1865×; collapsed: the hot buckets vanish). For any doc
+    long enough to shingle (≥ k words) results are identical with or
+    without (every member is J=1.0 with its representative, so the
+    expanded component equals the uncollapsed one; property-tested).
+    The ONE documented divergence (ADVICE r4, medium): a multi-member
+    exact group whose text has FEWER than k words produces no shingles,
+    so the uncollapsed LSH path silently drops it, while the collapsed
+    path still clusters it (the ``_grp_n > 1`` branch). The collapsed
+    behavior is canonical — byte-identical documents are duplicates by
+    definition, independent of shingling applicability — which is the
+    second reason it defaults on (the first: the classic
+    exact-before-fuzzy dedup ordering).
     """
     from indra_db_spark.operators.components import connected_components
 

@@ -84,11 +84,17 @@ def _require_current_layout(spark: SparkSession, out_dir: str) -> None:
     path is a full rebuild — say so explicitly (ADVICE r3)."""
     problems = []
     raw = storage.read_table(spark, f"{out_dir}/raw_statements")
-    subj_fields = [f.name for f in raw.schema["subj"].dataType.fields]
-    if "bounds" not in subj_fields:
-        problems.append(
-            "raw_statements.subj lacks the 'bounds' condition field"
-        )
+    # existence check BEFORE indexing the struct field — a corpus missing
+    # subj entirely should get the friendly rebuild-required ValueError,
+    # not an opaque KeyError (ADVICE r4, low)
+    if "subj" not in raw.columns:
+        problems.append("raw_statements lacks the 'subj' agent column")
+    else:
+        subj_fields = [f.name for f in raw.schema["subj"].dataType.fields]
+        if "bounds" not in subj_fields:
+            problems.append(
+                "raw_statements.subj lacks the 'bounds' condition field"
+            )
     for table, col in (
         ("evidence", "day"),
         ("pa_statements", "bucket"),

@@ -714,12 +714,16 @@ def test_ivf_recall_vs_brute_force(spark):
 
 def test_dedup_clusters_collapse_exact_equals_uncollapsed(spark):
     """collapse_exact (LSH on one representative per distinct normalized
-    text, re-expanded after CC) must be a pure optimization: identical
-    clusters to the uncollapsed run on a corpus mixing exact dups,
-    case/whitespace dups, near dups, singleton exact groups, and
-    unrelated docs — including a multi-member exact group with no LSH
-    neighbor (a cluster of its own) and an exact group whose rep links
-    to a near-dup (whole group joins that cluster)."""
+    text, re-expanded after CC) is a pure optimization for every doc
+    long enough to shingle: identical clusters to the uncollapsed run on
+    a corpus mixing exact dups, case/whitespace dups, near dups,
+    singleton exact groups, and unrelated docs — including a
+    multi-member exact group with no LSH neighbor (a cluster of its own)
+    and an exact group whose rep links to a near-dup (whole group joins
+    that cluster). The ONE documented divergence (ADVICE r4): a
+    multi-member exact group with FEWER than k words yields no shingles,
+    so the uncollapsed path misses it while the (canonical) collapsed
+    path still clusters it."""
     from indra_db_spark.operators.dedup_docs import dedup_clusters
 
     base = "the quick brown fox jumps over the lazy dog again and again"
@@ -730,6 +734,7 @@ def test_dedup_clusters_collapse_exact_equals_uncollapsed(spark):
         (4, near),
         (5, lonely), (6, lonely),
         (7, "completely unrelated text about spark engines and cluster scale"),
+        (8, "hello world"), (9, "hello world"),  # sub-k exact group (k=3)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -743,7 +748,11 @@ def test_dedup_clusters_collapse_exact_equals_uncollapsed(spark):
         )
 
     got, want = snap(True), snap(False)
-    assert got == want, (got, want)
+    # identical on everything shingle-able; collapsed additionally
+    # clusters the sub-k exact group the LSH path cannot see
+    assert want == [p for p in got if p[0] not in (8, 9)], (got, want)
+    assert (8, 8) in got and (9, 8) in got  # canonical: exact dups cluster
+    assert all(d not in (8, 9) for d, _ in want)  # uncollapsed misses them
     assert (5, 5) in got and (6, 5) in got  # edge-less exact group kept
     assert (4, 1) in got  # near-dup joins the rep's cluster
     assert all(d != 7 for d, _ in got)  # singleton stays absent

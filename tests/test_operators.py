@@ -556,6 +556,11 @@ def test_connected_components_vs_union_find_oracle(spark):
         "rand": [(rng.randrange(500), rng.randrange(500)) for _ in range(900)],
         "selfloops": [(1, 1), (2, 3), (3, 2), (4, 5)],
         "oriented_forest": [(i, 0) for i in range(1, 40)],
+        # ADVICE r4 (high): round-1 output has height ≤ 1 but node 4 has
+        # TWO parents (roots 1 and 2) — the old star-forest test (sources
+        # ∩ targets = ∅ only) early-exited here and split the component,
+        # emitting node 4 with two conflicting component_ids.
+        "multi_parent": [(4, 5), (1, 5), (2, 6), (4, 6)],
     }
     for name, es in graphs.items():
         df = spark.createDataFrame(

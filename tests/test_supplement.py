@@ -373,3 +373,25 @@ def test_supplement_rejects_pre_r3_corpus(spark):
                               source_expr=synth_source_expr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_supplement_rejects_corpus_missing_subj_column(spark):
+    """A corpus whose raw_statements lacks the subj column entirely must
+    get the same friendly rebuild-required ValueError, not an opaque
+    KeyError from indexing the absent struct field (ADVICE r4, low)."""
+    from indra_db_spark.sources import storage
+
+    base = tempfile.mkdtemp(prefix="kg_nosubj_")
+    try:
+        pages = synth_pages(spark, 40, seed=12)
+        run_pipeline(spark, pages, base, pages_fingerprint="ns0",
+                     source_expr=synth_source_expr)
+        path = f"{base}/raw_statements"
+        # sever lineage from the very files the overwrite deletes
+        doctored = storage.read_table(spark, path).drop("subj").localCheckpoint()
+        storage.write_table(doctored, path, ["day"], mode="overwrite")
+        with pytest.raises(ValueError, match="rebuild"):
+            supplement_corpus(spark, base, pages,
+                              source_expr=synth_source_expr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
