@@ -173,9 +173,36 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH: docs sharing any band
-    of the minhash signature. Returns (doc_a, doc_b, n_bands_shared)."""
+    of the minhash signature. Returns (doc_a, doc_b, n_bands_shared).
+
+    ``max_bucket`` (VERDICT r4 #4 — the residual hot-bucket bound): with
+    the default ``None`` every bucket emits all C(n,2) pairs, which is
+    quadratic WITHIN a bucket — fine when exact dups are collapsed first
+    and buckets stay small, but a template-heavy 100-TB crawl can put a
+    boilerplate family of millions into one band bucket. When set, a
+    bucket larger than ``max_bucket`` is deterministically SUB-BUCKETED
+    on the hash of the NEXT band's signature (no RNG — docs agreeing on
+    two independent bands stay together; template variants differing in
+    the secondary band split apart and still meet through that band's
+    own bucket), and any sub-bucket STILL larger than the cap degrades
+    to a STAR topology: each member pairs only with the sub-bucket's min
+    doc_id. Members of such a sub-bucket agree on 2·(num_hashes/bands)
+    independent minhashes, i.e. they are near-certain high-J family —
+    for clustering (the dedup_clusters path runs connected components
+    over the surviving pairs) the star keeps the family connected
+    through the hub at O(n) edges instead of O(n²). **Stated worst-case
+    bound: a bucket of size n emits at most
+    ceil(n/max_bucket)·C(max_bucket,2) + n candidate pairs, and O(n)
+    even if the secondary band fails to split it** — never n². Recall
+    floor on planted near-dup families is property-tested
+    (tests/test_curation_ops.py::test_lsh_max_bucket_cap_bound_and_recall).
+    Cost: the capped path replaces the bucket equi-join's single
+    exchange with two window shuffles (bucket, then sub-bucket) plus the
+    pair join — one extra exchange, paid only when the knob is on.
+    """
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands} — "
@@ -186,6 +213,7 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
     banded = sig.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -193,16 +221,59 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     ).withColumn("bucket", F.xxhash64(F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
-    a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
-    # merge hint: a banded self-join side is never legitimately broadcast
-    # at corpus scale, but Catalyst's size estimate of the aggregate
-    # output can undershoot and pick one — building that broadcast
-    # collects the whole side to the driver (observed: driver
-    # maxResultSize abort at 8M docs). Pin the shuffle join.
-    return (
-        a.join(b.hint("merge"), "bucket")
+    # merge hint (both paths): a banded self-join side is never
+    # legitimately broadcast at corpus scale, but Catalyst's size
+    # estimate of the aggregate output can undershoot and pick one —
+    # building that broadcast collects the whole side to the driver
+    # (observed: driver maxResultSize abort at 8M docs). Pin the shuffle
+    # join.
+    if max_bucket is None:
+        a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
+        b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
+        return (
+            a.join(b.hint("merge"), "bucket")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+        )
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket={max_bucket} must be ≥ 2 (or None)")
+    sec = F.xxhash64(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.expr(
+                    f"slice(sig, pmod(band + 1, {bands}) * {rows_per_band} + 1, "
+                    f"{rows_per_band})"
+                ),
+                lambda x: x.cast("string"),
+            ),
+        )
+    )
+    w1 = Window.partitionBy("bucket")
+    keyed = banded.withColumn("_n", F.count(F.lit(1)).over(w1)).withColumn(
+        "bucket2",
+        F.when(
+            F.col("_n") > max_bucket, F.xxhash64(F.col("bucket"), sec)
+        ).otherwise(F.col("bucket")),
+    )
+    w2 = Window.partitionBy("bucket2")
+    keyed = keyed.withColumn("_n2", F.count(F.lit(1)).over(w2)).withColumn(
+        "_hub", F.min("doc_id").over(w2)
+    ).select("doc_id", "bucket2", "_n2", "_hub")
+    small = keyed.where(F.col("_n2") <= max_bucket)
+    a = small.select(F.col("doc_id").alias("doc_a"), "bucket2")
+    b = small.select(F.col("doc_id").alias("doc_b"), "bucket2")
+    pair_small = (
+        a.join(b.hint("merge"), "bucket2")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star = keyed.where(
+        (F.col("_n2") > max_bucket) & (F.col("doc_id") != F.col("_hub"))
+    ).select(F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return (
+        pair_small.unionByName(star)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )

@@ -756,3 +756,59 @@ def test_dedup_clusters_collapse_exact_equals_uncollapsed(spark):
     assert (5, 5) in got and (6, 5) in got  # edge-less exact group kept
     assert (4, 1) in got  # near-dup joins the rep's cluster
     assert all(d != 7 for d, _ in got)  # singleton stays absent
+
+
+def test_lsh_max_bucket_cap_bound_and_recall(spark):
+    """max_bucket (r5): oversize LSH buckets degrade to secondary-band
+    sub-buckets, then to a star on the min doc_id — worst-case O(n)
+    pairs per bucket, never C(n,2). Part 1 pins the deterministic bound
+    on an all-identical family (no secondary-band split possible: star
+    exactly); part 2 pins the recall floor for clustering a genuine
+    near-dup family plus scattered pairs with the cap engaged."""
+    from collections import Counter
+
+    from indra_db_spark.operators.dedup_docs import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    fam = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+           for i in range(30)]
+    docs = spark.createDataFrame(fam, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, max_bucket=8).collect()
+    # identical docs agree on every band AND the secondary band → one
+    # un-splittable sub-bucket per band → star: exactly n-1 hub pairs
+    assert len(pairs) == 29, len(pairs)
+    assert all(r["doc_a"] == 0 for r in pairs)
+    assert minhash_lsh_candidates(docs).count() == 435  # uncapped C(30,2)
+
+    rows = []
+    base_words = [f"w{i}" for i in range(60)]
+    for i in range(24):  # family: mutually J≈0.90 (one trailing word)
+        rows.append((100 + i, " ".join(base_words[:-1] + [f"tail{i}"])))
+    for j in range(10):  # scattered small near-dup pairs
+        w = [f"p{j}x{t}" for t in range(40)]
+        rows.append((1000 + 2 * j, " ".join(w)))
+        rows.append((1001 + 2 * j, " ".join(w[:-1] + ["zz"])))
+    for u in range(20):  # unrelated singletons
+        rows.append((5000 + u, " ".join(f"u{u}q{t}" for t in range(30))))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            docs2, method="minhash_lsh", threshold=0.8,
+            num_hashes=16, bands=4, max_bucket=6,
+        ).collect()
+    }
+    fam_clusters = [clusters.get(100 + i) for i in range(24)]
+    modal, cnt = Counter(
+        c for c in fam_clusters if c is not None
+    ).most_common(1)[0]
+    assert cnt >= 22, fam_clusters  # ≥90% of the family stays clustered
+    found = sum(
+        1 for j in range(10)
+        if clusters.get(1000 + 2 * j) is not None
+        and clusters.get(1000 + 2 * j) == clusters.get(1001 + 2 * j)
+    )
+    assert found >= 9, found  # small buckets: cap changes nothing
+    assert all(5000 + u not in clusters for u in range(20))
