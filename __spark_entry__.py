@@ -605,6 +605,19 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked: stdlib container parsing (PNG/GIF/WAV) of REAL
+    synthesized files, Arrow mapInPandas — the DuckDB twin re-derives
+    each parsed field from the deterministic generation spec, so a
+    parser that mis-reads any header byte hash-mismatches."""
+    from indra_db_spark.operators.multimodal import (
+        parse_media_headers,
+        synth_media_files,
+    )
+
+    return parse_media_headers(synth_media_files(spark, 96)).orderBy("media_id")
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition gate: duplicate-line and duplicate word-3-gram
     fractions per document (scan-speed HOF expressions, no shuffle)."""
@@ -721,6 +734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checked against the synth-media spec twin (the md5-stub
         # feature VALUES remain pytest-only — codec env-blocked)
         "multimodal_features": _q_multimodal,
+        # r5: REAL stdlib container parsing (PNG IHDR / GIF LSD / wave)
+        # over valid synthesized files; the twin re-derives every parsed
+        # field from the generation spec — bytes-in, parsed-fields-out
+        "multimodal_headers": _q_multimodal_headers,
     }
 
 
@@ -1335,6 +1352,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_bytes)::BIGINT AS total_bytes,
                    count(*)::BIGINT AS n_distinct
             FROM t GROUP BY kind ORDER BY kind
+        """,
+        "multimodal_headers": """
+            WITH m AS (SELECT unnest(generate_series(0, 95)) AS i)
+            SELECT i::BIGINT AS media_id,
+                   CASE i % 4 WHEN 2 THEN 'audio'
+                              WHEN 3 THEN 'video'
+                              ELSE 'image' END AS kind,
+                   CASE i % 4 WHEN 0 THEN 'png'
+                              WHEN 1 THEN 'gif'
+                              WHEN 2 THEN 'wav' END AS format,
+                   (CASE i % 4 WHEN 0 THEN 16 + i % 8
+                               WHEN 1 THEN 32 + i % 7 END)::INT AS width,
+                   (CASE i % 4 WHEN 0 THEN 8 + i % 5
+                               WHEN 1 THEN 24 + i % 5 END)::INT AS height,
+                   (CASE i % 4 WHEN 0 THEN 8
+                               WHEN 2 THEN 16 END)::INT AS bit_depth,
+                   (CASE i % 4 WHEN 2 THEN 800 END)::INT AS sample_rate,
+                   (CASE i % 4 WHEN 2 THEN 1 END)::INT AS n_channels,
+                   (CASE i % 4
+                        WHEN 2 THEN 1000 * (1 + i % 3) END)::INT AS duration_ms
+            FROM m ORDER BY media_id
         """,
         "docs_repetition": f"""
             WITH base AS (

@@ -812,3 +812,112 @@ def test_lsh_max_bucket_cap_bound_and_recall(spark):
     )
     assert found >= 9, found  # small buckets: cap changes nothing
     assert all(5000 + u not in clusters for u in range(20))
+
+
+def test_media_header_parsing_golden(spark):
+    """r5: real stdlib container parsing — hand-built PNG/GIF/WAV
+    fixtures parse to exact width/height/bit-depth/rate/duration;
+    garbage, truncated, and NULL payloads sniff to format=NULL (never
+    raise); synth_media_files round-trips through the Arrow mapInPandas
+    operator with fields matching the generation spec."""
+    from indra_db_spark.operators.multimodal import (
+        MEDIA,
+        gif_bytes,
+        parse_media_header,
+        parse_media_headers,
+        png_bytes,
+        synth_media_files,
+        wav_bytes,
+    )
+
+    h = parse_media_header(png_bytes(23, 11))
+    assert (h["format"], h["width"], h["height"], h["bit_depth"]) == (
+        "png", 23, 11, 8)
+    h = parse_media_header(gif_bytes(640, 480))
+    assert (h["format"], h["width"], h["height"]) == ("gif", 640, 480)
+    h = parse_media_header(wav_bytes(1600, rate=800, channels=1))
+    assert (h["format"], h["sample_rate"], h["n_channels"], h["bit_depth"],
+            h["duration_ms"]) == ("wav", 800, 1, 16, 2000)
+    # stereo + non-integral duration rounds
+    h = parse_media_header(wav_bytes(1234, rate=1000, channels=2))
+    assert (h["n_channels"], h["duration_ms"]) == (2, 1234)
+    for junk in (None, b"", b"\x89PNG\r\n\x1a\n", b"GIF89a\x01",
+                 b"RIFF\x00\x00\x00\x00WAVExxxx", b"not media at all",
+                 png_bytes(4, 4)[:20]):
+        assert parse_media_header(junk)["format"] is None, junk
+
+    media = synth_media_files(spark, 40)
+    got = {r["media_id"]: r for r in parse_media_headers(media).collect()}
+    assert len(got) == 40
+    for i in range(40):
+        r = got[i]
+        if i % 4 == 0:
+            assert (r["format"], r["width"], r["height"], r["bit_depth"]) == (
+                "png", 16 + i % 8, 8 + i % 5, 8)
+        elif i % 4 == 1:
+            assert (r["format"], r["width"], r["height"]) == (
+                "gif", 32 + i % 7, 24 + i % 5)
+        elif i % 4 == 2:
+            assert (r["format"], r["sample_rate"], r["n_channels"],
+                    r["duration_ms"]) == ("wav", 800, 1, 1000 * (1 + i % 3))
+        else:
+            assert r["format"] is None and r["kind"] == "video"
+
+
+def test_winnow_families_share_selection_rule(spark):
+    """r5 (bench-hygiene companion): the md5 oracle-mirror and xxhash64
+    production paths implement the SAME winnow selection algorithm,
+    differing only in the gram-hash family. For each family, collecting
+    its gram-hash arrays and winnowing them with a driver-side Python
+    twin (min of every w-window, distinct) reproduces the Spark-selected
+    fingerprint sets exactly. (Selected POSITIONS legitimately differ
+    across families — the window min depends on the hash values — so
+    set-equality per family against the twin is the exact invariant.)"""
+    from indra_db_spark.functions.hashing import fold_md5_64
+    from indra_db_spark.functions.textnorm import collapse_ws_expr
+    from indra_db_spark.operators.textops import winnow_fingerprints
+
+    k, w = 8, 4
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "completely different content with its own character stream"),
+        (3, "short"),            # < k chars → no grams
+        (4, "exactly8!"),        # 2 grams < w → single min
+        (5, ""),                 # empty
+        (6, "  spaced    out \t text   normalizes first  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_winnow(hashes):
+        if not hashes:
+            return []
+        if len(hashes) < w:
+            return sorted({min(hashes)})
+        return sorted({min(hashes[j:j + w]) for j in range(len(hashes) - w + 1)})
+
+    for fn in ("xxhash64", "md5"):
+        gram_hash = (
+            (lambda g: F.xxhash64(g)) if fn == "xxhash64" else fold_md5_64
+        )
+        s1 = docs.select(
+            "doc_id", collapse_ws_expr(F.col("text")).alias("_norm")
+        )
+        n_g = F.length("_norm") - k + 1
+        grams = s1.select(
+            "doc_id",
+            F.when(n_g < 1, F.array().cast("array<long>"))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n_g),
+                    lambda i: gram_hash(F.substr(F.col("_norm"), i, F.lit(k))),
+                )
+            ).alias("h"),
+        )
+        want = {
+            r["doc_id"]: py_winnow(list(r["h"])) for r in grams.collect()
+        }
+        got = {
+            r["doc_id"]: sorted(r["fps"])
+            for r in winnow_fingerprints(docs, k=k, w=w, hash_fn=fn).collect()
+        }
+        assert got == want, fn
