@@ -588,6 +588,36 @@ def _q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, method="jaccard", threshold=0.6).orderBy("doc_id")
 
 
+def _q_docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked: INCREMENTAL LSH dedup (r5 — crawl-ingestion path).
+    Splits documents by doc_id parity into an "already ingested" corpus
+    and a batch, bootstraps the dedup index on the old half, supplements
+    the batch, and returns the merged cluster table. The DuckDB twin is
+    the FULL-REBUILD collapsed-LSH clustering of the whole table
+    (exact-dup collapse → md5-family banded LSH on reps → Jaccard
+    residual → recursive closure → re-expand), so the hash match pins
+    the incremental == rebuild equivalence on real data, not just the
+    unit fixtures (operators/dedup_incremental.py)."""
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+    from indra_db_spark.operators.dedup_incremental import (
+        build_dedup_index,
+        supplement_dedup_clusters,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    old_clusters = dedup_clusters(
+        old, method="minhash_lsh", threshold=0.6, collapse_exact=True,
+        hash_fn="md5",
+    )
+    idx = build_dedup_index(old, hash_fn="md5")
+    _, clusters = supplement_dedup_clusters(
+        idx, old_clusters, old, batch, threshold=0.6, hash_fn="md5"
+    )
+    return clusters.orderBy("doc_id")
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: multimodal feature-extraction plumbing (decode stubbed)."""
     from indra_db_spark.operators.multimodal import extract_media_features, synth_media
@@ -720,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_counts": _q_docs_token_counts,
         "docs_winnow": _q_docs_winnow,
         "docs_dup_clusters": _q_docs_dup_clusters,
+        # r5: incremental (index + supplement) LSH dedup, hash-checked
+        # against the full-rebuild collapsed-LSH twin
+        "docs_dedup_incremental": _q_docs_dedup_incremental,
         "docs_curated": _q_docs_curated,
         "embeddings_ivf_ann": _q_ivf_ann,
         "docs_repetition": _q_docs_repetition,
@@ -1261,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
             ORDER BY doc_id
         """,
+        "docs_dedup_incremental": _incremental_clusters_oracle_sql(),
         "docs_dup_clusters": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -1523,6 +1557,92 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
         ),
         c AS (SELECT doc_id, count(*) AS n, {csums} FROM th GROUP BY doc_id)
         SELECT doc_id, ({terms})::BIGINT AS simhash FROM c ORDER BY doc_id
+    """
+
+
+def _incremental_clusters_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of docs_dedup_incremental: the FULL-REBUILD
+    collapsed-LSH clustering (``dedup_clusters(method='minhash_lsh',
+    hash_fn='md5', collapse_exact=True)``) of the whole documents table —
+    exact-dup collapse to fingerprint reps, md5-family banded LSH over
+    reps, Jaccard residual, recursive closure, re-expansion (multi-member
+    exact groups kept even without LSH edges). Equal to the incremental
+    path's output by the labels-partition-the-graph argument
+    (operators/dedup_incremental.py), so a hash match pins that
+    equivalence on real data."""
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        "min(" + _FOLD64.format(x=f"('{i}|' || shingle)") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+        )
+        + " AS bsig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH RECURSIVE
+        fps AS (
+            SELECT doc_id, {_FOLD64.format(x=_NORM_TEXT)} AS fp FROM documents
+        ),
+        grp AS (SELECT fp, count(*) AS n, min(doc_id) AS rep FROM fps GROUP BY fp),
+        rep_docs AS (
+            SELECT g.rep AS doc_id, d.text
+            FROM grp g JOIN documents d ON d.doc_id = g.rep
+        ),
+        words AS (
+            SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM rep_docs
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+            WHERE len(w) >= 3
+        ),
+        sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+        banded AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+                         AND a.doc_id < b.doc_id
+        ),
+        ssize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.doc_a
+            JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN ssize za ON za.doc_id = doc_a
+            JOIN ssize zb ON zb.doc_id = doc_b
+            WHERE round(n_common::DOUBLE / (za.n_sh + zb.n_sh - n_common), 6)
+                  >= {threshold}
+        ),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        rep_clusters AS (
+            SELECT a AS rep, least(a, min(b)) AS cid FROM reach GROUP BY a
+        )
+        SELECT f.doc_id AS doc_id,
+               coalesce(rc.cid, g.rep) AS cluster_id
+        FROM fps f
+        JOIN grp g ON g.fp = f.fp
+        LEFT JOIN rep_clusters rc ON rc.rep = g.rep
+        WHERE rc.cid IS NOT NULL OR g.n > 1
+        ORDER BY doc_id
     """
 
 

@@ -165,6 +165,49 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, sig, band, band_sig, bucket) — one row per (doc, band).
+
+    The single definition of the banding/bucketing scheme, shared by
+    :func:`minhash_lsh_candidates` and the incremental path
+    (``dedup_incremental.py``): bucket ids from two index builds agree
+    iff the docs agree on that band, so index rows written in one batch
+    join correctly against rows written in any later batch.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} — "
+            f"the trailing {num_hashes % bands} hashes would be computed "
+            "and silently dropped"
+        )
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
+    return sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn(
+        "bucket",
+        F.xxhash64(
+            F.col("band"),
+            F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string"))),
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,24 +246,10 @@ def minhash_lsh_candidates(
     exchange with two window shuffles (bucket, then sub-bucket) plus the
     pair join — one extra exchange, paid only when the knob is on.
     """
-    if num_hashes % bands:
-        raise ValueError(
-            f"num_hashes={num_hashes} not divisible by bands={bands} — "
-            f"the trailing {num_hashes % bands} hashes would be computed "
-            "and silently dropped"
-        )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
-    banded = sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band", "band_sig"),
-    ).withColumn("bucket", F.xxhash64(F.col("band"), F.concat_ws(",", F.transform("band_sig", lambda x: x.cast("string")))))
+    banded = banded_signatures(
+        df, id_col, text_col, k, num_hashes, bands, hash_fn
+    )
     # merge hint (both paths): a banded self-join side is never
     # legitimately broadcast at corpus scale, but Catalyst's size
     # estimate of the aggregate output can undershoot and pick one —
