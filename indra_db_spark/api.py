@@ -201,22 +201,27 @@ def load_context(
     return QueryContext(pa_statements=pa, evidence=ev)
 
 
+def result_kwargs(params: dict[str, Any]) -> dict[str, Any]:
+    """Validated result-control kwargs for ``Query.get_statements``
+    (shared by :func:`run_query` and the HTTP layer in ``server.py``)."""
+    sort_by = str(params.get("sort_by", "ev_count"))
+    if sort_by not in _SORTABLE:
+        raise ValueError(
+            f"sort_by must be one of {sorted(_SORTABLE)}, got {sort_by!r}"
+        )
+    return {
+        "ev_limit": int(params["ev_limit"]) if "ev_limit" in params else None,
+        "sort_by": sort_by,
+        "limit": int(params["limit"]) if "limit" in params else None,
+        "offset": int(params["offset"]) if "offset" in params else None,
+        "after": _parse_after(params["after"]) if "after" in params else None,
+    }
+
+
 def run_query(params: dict[str, Any], ctx: QueryContext) -> DataFrame:
     """One-call serving path: parse params, execute, hydrate.
 
     Result controls pass through to ``Query.get_statements`` (ev_limit
     truncation, sort, keyset/offset pagination)."""
     q = parse_query(params)
-    sort_by = str(params.get("sort_by", "ev_count"))
-    if sort_by not in _SORTABLE:
-        raise ValueError(
-            f"sort_by must be one of {sorted(_SORTABLE)}, got {sort_by!r}"
-        )
-    return q.get_statements(
-        ctx,
-        ev_limit=int(params["ev_limit"]) if "ev_limit" in params else None,
-        sort_by=sort_by,
-        limit=int(params["limit"]) if "limit" in params else None,
-        offset=int(params["offset"]) if "offset" in params else None,
-        after=_parse_after(params["after"]) if "after" in params else None,
-    )
+    return q.get_statements(ctx, **result_kwargs(params))
