@@ -81,6 +81,34 @@ class DedupIndex:
     fp_buckets: DataFrame  # (fp_hash, rep_id, bucket)
 
 
+@dataclass(frozen=True)
+class SupplementDedupResult:
+    """:func:`supplement_dedup_clusters` output.
+
+    Unpacks as ``(index, clusters)`` for the common case; the extra
+    fields are the O(batch)-sized pieces a persistent store
+    (``operators/dedup_store.py``) needs to commit the batch without
+    rewriting the corpus:
+
+      * ``doc_fps_delta`` / ``fp_buckets_delta`` — exactly the rows this
+        batch adds to the two index tables (append, don't rewrite);
+      * ``relabel`` — (_node, _new) from the contracted CC: every old
+        cluster label (or previously-unclustered doc) whose component
+        changed, with its merged label. Rows of ``clusters`` NOT reached
+        through ``relabel`` are byte-identical to ``old_clusters`` —
+        the store's partition-scoping certificate.
+    """
+
+    index: DedupIndex
+    clusters: DataFrame
+    doc_fps_delta: DataFrame
+    fp_buckets_delta: DataFrame
+    relabel: DataFrame
+
+    def __iter__(self):
+        return iter((self.index, self.clusters))
+
+
 def _norm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -157,9 +185,9 @@ def supplement_dedup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "xxhash64",
-) -> tuple[DedupIndex, DataFrame]:
-    """Ingest ``batch`` against an indexed corpus → (extended index,
-    full cluster table equal to the rebuild's).
+) -> SupplementDedupResult:
+    """Ingest ``batch`` against an indexed corpus → result unpacking as
+    (extended index, full cluster table equal to the rebuild's).
 
     ``old_clusters`` is the corpus's current (doc_id, cluster_id) table;
     ``old_docs`` the corpus texts, read ONLY through a broadcast
@@ -299,4 +327,10 @@ def supplement_dedup_clusters(
         doc_fps=index.doc_fps.unionByName(b_fps),
         fp_buckets=index.fp_buckets.unionByName(new_buckets),
     )
-    return new_index, new_clusters
+    return SupplementDedupResult(
+        index=new_index,
+        clusters=new_clusters,
+        doc_fps_delta=b_fps,
+        fp_buckets_delta=new_buckets,
+        relabel=relabel,
+    )

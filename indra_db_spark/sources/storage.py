@@ -200,6 +200,28 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def scoped_overwrite(
+    df: DataFrame,
+    table_path: str,
+    part_col: str,
+    scope_values: list,
+) -> None:
+    """Dynamic-partition-overwrite ``df`` (already restricted to the
+    ``scope_values`` partitions) into ``table_path``, dropping any scoped
+    partition whose every row vanished — dynamic overwrite can only
+    REPLACE partitions present in the frame, so an emptied partition
+    would otherwise survive as a stale directory (the shim analog of
+    Iceberg's delete-files). ``df`` must be materialized (checkpointed)
+    by the caller: the plan reads the very files this write deletes."""
+    import shutil
+
+    surviving = {r[part_col] for r in df.select(part_col).distinct().collect()}
+    for v in scope_values:
+        if v not in surviving:
+            shutil.rmtree(f"{table_path}/{part_col}={v}", ignore_errors=True)
+    write_table(df, table_path, [part_col], mode="overwrite_partitions")
+
+
 def append_lazy(
     df: DataFrame, path: str, key_cols: list[str], partition_by: list[str] | None = None
 ) -> dict:

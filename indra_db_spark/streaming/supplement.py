@@ -45,26 +45,8 @@ from indra_db_spark.sources import storage
 from indra_db_spark.pipeline import PA_BUCKETS
 
 
-def _scoped_overwrite(
-    df: DataFrame,
-    table_path: str,
-    part_col: str,
-    scope_values: list,
-) -> None:
-    """Dynamic-partition-overwrite ``df`` (already restricted to the
-    ``scope_values`` partitions) into ``table_path``, dropping any scoped
-    partition whose every row vanished — dynamic overwrite can only
-    REPLACE partitions present in the frame, so an emptied partition
-    would otherwise survive as a stale directory (the shim analog of
-    Iceberg's delete-files). ``df`` must be materialized (checkpointed)
-    by the caller: the plan reads the very files this write deletes."""
-    import shutil
-
-    surviving = {r[part_col] for r in df.select(part_col).distinct().collect()}
-    for v in scope_values:
-        if v not in surviving:
-            shutil.rmtree(f"{table_path}/{part_col}={v}", ignore_errors=True)
-    storage.write_table(df, table_path, [part_col], mode="overwrite_partitions")
+# shared with the incremental-dedup store (operators/dedup_store.py)
+_scoped_overwrite = storage.scoped_overwrite
 
 
 def _partitioned_by(table_path: str, part_col: str) -> bool:
