@@ -97,6 +97,9 @@ class SupplementDedupResult:
         changed, with its merged label. Rows of ``clusters`` NOT reached
         through ``relabel`` are byte-identical to ``old_clusters`` —
         the store's partition-scoping certificate.
+      * ``clusters_delta`` — exactly the rows of ``clusters`` that differ
+        from ``old_clusters`` (relabeled old members + newly clustered
+        docs); ``clusters`` ≡ (old_clusters − delta doc_ids) ∪ delta.
     """
 
     index: DedupIndex
@@ -104,6 +107,7 @@ class SupplementDedupResult:
     doc_fps_delta: DataFrame
     fp_buckets_delta: DataFrame
     relabel: DataFrame
+    clusters_delta: DataFrame
 
     def __iter__(self):
         return iter((self.index, self.clusters))
@@ -321,7 +325,8 @@ def supplement_dedup_clusters(
         .join(relabel.withColumnRenamed("_node", id_col), id_col)
         .select(id_col, F.col("_new").alias("cluster_id"))
     )
-    new_clusters = kept_old.unionByName(touched_old).unionByName(edge_docs)
+    delta = touched_old.unionByName(edge_docs)
+    new_clusters = kept_old.unionByName(delta)
 
     new_index = DedupIndex(
         doc_fps=index.doc_fps.unionByName(b_fps),
@@ -333,4 +338,5 @@ def supplement_dedup_clusters(
         doc_fps_delta=b_fps,
         fp_buckets_delta=new_buckets,
         relabel=relabel,
+        clusters_delta=delta,
     )

@@ -1,0 +1,299 @@
+"""Persistent incremental-dedup store — the on-disk commit protocol
+around :mod:`indra_db_spark.operators.dedup_incremental`.
+
+Design provenance: [P] preassemble_db.py::supplement_corpus (only
+new/affected rows are ever written) + the dump/swap snapshot discipline
+of [P] cli/dump.py; the Spark-side math is ``supplement_dedup_clusters``
+and the storage shim is ``sources/storage.py`` (manifest = atomic
+commit pointer).
+
+Layout under ``root``::
+
+  docs/        batch_id=<id>/…   (doc_id, text)          append-only
+  doc_fps/     batch_id=<id>/…   (doc_id, fp_hash)       append-only
+  fp_buckets/  batch_id=<id>/…   (fp_hash, rep_id, bucket) append-only
+  clusters/    _p=<n>/…          (doc_id, cluster_id)    doc-hash parts
+  _staging/<batch_id>/           pre-image backup of the cluster
+                                 partitions a batch rewrites
+  _dedup_store.json              LSH params + ORDERED committed-batch
+                                 ledger — written LAST (atomic rename)
+
+Why this layout survives 100 TB: the three per-batch tables are written
+as ``batch_id`` partitions with dynamic partition overwrite, so a batch
+commit APPENDS O(batch) bytes and a retried commit idempotently replaces
+its own partition — the corpus-sized history is never rewritten.
+``clusters`` is partitioned by ``pmod(xxhash64(doc_id), n_parts)``: a
+doc's row never migrates partitions when its label changes, so a batch
+rewrites exactly the partitions holding ``clusters_delta`` rows (the
+supplement's partition-scoping certificate) and every other partition
+stays byte-identical on disk. ``n_parts`` defaults small for tests; at
+deployment scale set it so a partition is a few GB (e.g. 4096).
+
+Crash-safety (each step idempotent, manifest written last):
+
+  1. ``batch_id`` already in the ledger → no-op (clean leftover staging).
+  2. Leftover ``_staging/<batch_id>`` → a prior attempt crashed mid-
+     cluster-rewrite: restore the backed-up pre-image partitions (and
+     delete affected partitions that had no pre-image) so the recompute
+     reads exactly the pre-batch cluster state.
+  3. Reads of docs/doc_fps/fp_buckets filter to LEDGER batches only
+     (partition-pruned), so half-written partitions of the current batch
+     are invisible to the recompute.
+  4. Per-batch partitions are (re)written, the affected cluster
+     partitions are backed up to staging, rewritten via
+     ``storage.scoped_overwrite``, and ONLY THEN the ledger commits.
+
+Equivalence invariant (property-tested in tests/test_dedup_store.py):
+after any sequence of ``ingest`` calls — including retries after
+injected crashes — ``clusters()`` equals
+``dedup_clusters(all docs, method='minhash_lsh', collapse_exact=True)``
+row-for-row, and the index tables equal ``build_dedup_index(all docs)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.dedup_docs import dedup_clusters
+from indra_db_spark.operators.dedup_incremental import (
+    DedupIndex,
+    build_dedup_index,
+    supplement_dedup_clusters,
+)
+from indra_db_spark.sources import storage
+
+_MANIFEST = "_dedup_store.json"
+_PARAM_KEYS = ("k", "num_hashes", "bands", "hash_fn", "threshold", "n_parts")
+
+
+class DedupStore:
+    """Durable incremental near-dup clustering over an append-only corpus.
+
+    ``ingest(batch, batch_id)`` is the ONLY write entry point: the first
+    call bootstraps (full ``dedup_clusters`` rebuild of that batch), every
+    later call runs the O(batch) supplement. ``batch_id`` is the caller's
+    idempotency key — re-ingesting a committed id is a no-op, retrying a
+    crashed ingest converges to the same state as a clean run.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        k: int | None = None,
+        num_hashes: int | None = None,
+        bands: int | None = None,
+        hash_fn: str | None = None,
+        threshold: float | None = None,
+        n_parts: int | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        defaults = dict(
+            k=3, num_hashes=16, bands=4, hash_fn="xxhash64",
+            threshold=0.8, n_parts=16,
+        )
+        explicit = dict(
+            k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn,
+            threshold=threshold, n_parts=n_parts,
+        )
+        m = self._read_manifest()
+        if m is not None:
+            # reopening: the manifest's params are the table's identity
+            # (bucket ids are a pure function of them) — explicit args
+            # may only confirm, never change
+            for key, val in explicit.items():
+                if val is not None and val != m["params"][key]:
+                    raise ValueError(
+                        f"store at {root} was built with {key}="
+                        f"{m['params'][key]!r}, got {val!r}"
+                    )
+            self.params = dict(m["params"])
+        else:
+            self.params = {
+                key: (explicit[key] if explicit[key] is not None else defaults[key])
+                for key in _PARAM_KEYS
+            }
+
+    # ------------------------------------------------------------------
+    # paths / manifest
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _staging(self, batch_id: str) -> str:
+        return os.path.join(self.root, "_staging", batch_id)
+
+    def _read_manifest(self) -> dict | None:
+        p = os.path.join(self.root, _MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, batch_id: str) -> None:
+        m = self._read_manifest() or {"params": self.params, "batches": []}
+        if batch_id not in m["batches"]:
+            m["batches"].append(batch_id)
+        storage._write_json_atomic(os.path.join(self.root, _MANIFEST), m)
+
+    @property
+    def committed(self) -> list[str]:
+        m = self._read_manifest()
+        return list(m["batches"]) if m else []
+
+    # ------------------------------------------------------------------
+    # readers (committed state only)
+    def _read_batched(self, table: str, drop_id: bool = True) -> DataFrame:
+        df = storage.read_table(self.spark, self._path(table)).where(
+            F.col("batch_id").isin(self.committed)  # partition-pruned
+        )
+        return df.drop("batch_id") if drop_id else df
+
+    def docs(self) -> DataFrame:
+        return self._read_batched("docs")
+
+    def index(self) -> DedupIndex:
+        return DedupIndex(
+            doc_fps=self._read_batched("doc_fps"),
+            fp_buckets=self._read_batched("fp_buckets"),
+        )
+
+    def clusters(self) -> DataFrame:
+        return storage.read_table(self.spark, self._path("clusters")).select(
+            "doc_id", "cluster_id"
+        )
+
+    # ------------------------------------------------------------------
+    # write protocol
+    def _pcol(self):
+        return F.pmod(F.xxhash64("doc_id"), F.lit(self.params["n_parts"]))
+
+    def _write_batch_tables(self, batch_id: str, b: DataFrame, fps: DataFrame,
+                            buckets: DataFrame) -> None:
+        for table, df in (("docs", b), ("doc_fps", fps), ("fp_buckets", buckets)):
+            storage.write_table(
+                df.withColumn("batch_id", F.lit(batch_id)),
+                self._path(table),
+                ["batch_id"],
+                mode="overwrite_partitions",
+            )
+
+    def _restore_staging(self, batch_id: str) -> None:
+        """Undo a crashed attempt's partial cluster rewrite: put every
+        affected partition back to its pre-image (or remove it if it did
+        not exist), then drop the staging dir."""
+        stage = self._staging(batch_id)
+        meta_path = os.path.join(stage, "affected.json")
+        if not os.path.exists(meta_path):
+            # crashed before the backup finished — the cluster table was
+            # never touched (backup strictly precedes rewrite)
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        with open(meta_path) as f:
+            meta = json.load(f)
+        for p in meta["affected"]:
+            live = os.path.join(self._path("clusters"), f"_p={p}")
+            shutil.rmtree(live, ignore_errors=True)
+            backup = os.path.join(stage, f"_p={p}")
+            if os.path.exists(backup):
+                shutil.copytree(backup, live)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _backup_partitions(self, batch_id: str, affected: list[int]) -> None:
+        stage = self._staging(batch_id)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for p in affected:
+            live = os.path.join(self._path("clusters"), f"_p={p}")
+            if os.path.exists(live):
+                shutil.copytree(live, os.path.join(stage, f"_p={p}"))
+        # affected.json written LAST: its presence certifies a complete
+        # backup, so restore-on-retry never trusts a partial one
+        storage._write_json_atomic(
+            os.path.join(stage, "affected.json"), {"affected": affected}
+        )
+
+    def ingest(self, batch: DataFrame, batch_id: str,
+               id_col: str = "doc_id", text_col: str = "text") -> dict:
+        """Commit one crawl batch; returns per-batch stats."""
+        if "/" in batch_id or batch_id.startswith("_") or not batch_id:
+            raise ValueError(f"invalid batch_id {batch_id!r}")
+        if batch_id in self.committed:
+            shutil.rmtree(self._staging(batch_id), ignore_errors=True)
+            return {"batch_id": batch_id, "noop": True}
+        if os.path.exists(self._staging(batch_id)):
+            self._restore_staging(batch_id)
+        b = batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not self.committed:
+            return self._bootstrap(b, batch_id)
+        return self._supplement(b, batch_id)
+
+    def _lsh_kwargs(self) -> dict:
+        p = self.params
+        return dict(
+            k=p["k"], num_hashes=p["num_hashes"], bands=p["bands"],
+            hash_fn=p["hash_fn"],
+        )
+
+    def _bootstrap(self, b: DataFrame, batch_id: str) -> dict:
+        b = b.localCheckpoint()
+        clusters = dedup_clusters(
+            b, method="minhash_lsh", threshold=self.params["threshold"],
+            collapse_exact=True, **self._lsh_kwargs(),
+        )
+        idx = build_dedup_index(b, **self._lsh_kwargs())
+        self._write_batch_tables(batch_id, b, idx.doc_fps, idx.fp_buckets)
+        clustered = clusters.withColumn("_p", self._pcol())
+        storage.write_table(
+            clustered, self._path("clusters"), ["_p"], mode="overwrite"
+        )
+        self._commit(batch_id)
+        return {
+            "batch_id": batch_id, "noop": False, "bootstrap": True,
+            "n_docs": b.count(),
+        }
+
+    def _supplement(self, b: DataFrame, batch_id: str) -> dict:
+        res = supplement_dedup_clusters(
+            self.index(), self.clusters(), self.docs(), b,
+            threshold=self.params["threshold"], **self._lsh_kwargs(),
+        )
+        delta = (
+            res.clusters_delta.withColumn("_p", self._pcol()).localCheckpoint()
+        )
+        affected = sorted(
+            r["_p"] for r in delta.select("_p").distinct().collect()
+        )
+        self._write_batch_tables(
+            batch_id, b, res.doc_fps_delta,
+            res.fp_buckets_delta.localCheckpoint(),
+        )
+        n_delta = delta.count()
+        if affected:
+            old_in = storage.read_table(self.spark, self._path("clusters")).where(
+                F.col("_p").isin(affected)  # partition-pruned read
+            )
+            content = (
+                old_in.join(delta.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(delta)
+                .localCheckpoint()  # scoped_overwrite deletes what it reads
+            )
+            self._backup_partitions(batch_id, affected)
+            storage.scoped_overwrite(
+                content, self._path("clusters"), "_p", affected
+            )
+        self._commit(batch_id)
+        shutil.rmtree(self._staging(batch_id), ignore_errors=True)
+        return {
+            "batch_id": batch_id, "noop": False, "bootstrap": False,
+            "n_docs": b.count(), "delta_rows": n_delta,
+            "affected_partitions": affected,
+            "total_partitions": self.params["n_parts"],
+        }

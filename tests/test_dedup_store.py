@@ -1,0 +1,160 @@
+"""DedupStore: durable incremental dedup == full rebuild, through
+crashes and retries.
+
+Every test's oracle is the same as test_dedup_incremental's:
+``dedup_clusters(all docs so far, method='minhash_lsh',
+collapse_exact=True)`` — the store must reproduce it row-for-row after
+any ingest sequence, including injected crashes at both sides of the
+cluster-partition rewrite and idempotent re-ingest of committed batches.
+"""
+
+import os
+
+import pytest
+
+from indra_db_spark.operators.dedup_docs import dedup_clusters
+from indra_db_spark.operators.dedup_incremental import build_dedup_index
+from indra_db_spark.operators.dedup_store import DedupStore
+from indra_db_spark.sources import storage
+from test_dedup_incremental import (
+    _clusters,
+    _docs,
+    _full,
+    batch_rows,
+    corpus_rows,
+)
+
+T = 0.5
+
+B2_ROWS = [
+    (201, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (202, "brand new content that matches nothing else at all here"),
+    (203, "one two three four five six seven eight nine ten eleven"),
+    (204, "wholly distinct trailing document closing the test set"),
+]
+
+
+def _store(spark, tmp_path, **kw):
+    kw.setdefault("threshold", T)
+    kw.setdefault("n_parts", 8)
+    return DedupStore(spark, str(tmp_path / "store"), **kw)
+
+
+def _cluster_files(root):
+    """{relpath: (size, mtime_ns)} for every data file under clusters/."""
+    out = {}
+    base = os.path.join(root, "clusters")
+    for dirpath, _, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, base)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_store_batches_equal_rebuild_and_reopen(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    b2 = _docs(spark, B2_ROWS)
+
+    s0 = st.ingest(old, "base")
+    assert s0["bootstrap"] and not s0["noop"]
+    assert _clusters(st.clusters()) == _full(old, T)
+
+    s1 = st.ingest(b1, "b1")
+    assert not s1["bootstrap"]
+    corpus1 = old.unionByName(b1)
+    assert _clusters(st.clusters()) == _full(corpus1, T)
+    # the rewrite touched a strict subset of partitions
+    assert 0 < len(s1["affected_partitions"]) <= s1["total_partitions"]
+
+    st.ingest(b2, "b2")
+    corpus2 = corpus1.unionByName(b2)
+    assert _clusters(st.clusters()) == _full(corpus2, T)
+
+    # index tables cover the corpus exactly (same as a fresh build)
+    idx = st.index()
+    ref = build_dedup_index(corpus2)
+    assert idx.doc_fps.count() == ref.doc_fps.count() == corpus2.count()
+    assert idx.fp_buckets.count() == ref.fp_buckets.count()
+
+    # reopen: params adopted from the manifest, state identical
+    st2 = DedupStore(spark, str(tmp_path / "store"))
+    assert st2.params["threshold"] == T and st2.params["n_parts"] == 8
+    assert st2.committed == ["base", "b1", "b2"]
+    assert _clusters(st2.clusters()) == _full(corpus2, T)
+
+
+def test_reingest_committed_batch_is_noop(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    st.ingest(old, "base")
+    st.ingest(b1, "b1")
+    before = _clusters(st.clusters())
+    assert st.ingest(b1, "b1")["noop"]
+    assert st.ingest(old, "base")["noop"]
+    assert _clusters(st.clusters()) == before
+    assert st.committed == ["base", "b1"]
+
+
+def test_unaffected_partitions_untouched_on_disk(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.ingest(_docs(spark, corpus_rows()), "base")
+    before = _cluster_files(st.root)
+    stats = st.ingest(_docs(spark, batch_rows()), "b1")
+    after = _cluster_files(st.root)
+    affected_dirs = {f"_p={p}" for p in stats["affected_partitions"]}
+    changed = {
+        rel
+        for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed, "the batch rewrote nothing — test rows should merge"
+    for rel in changed:
+        assert rel.split(os.sep)[0] in affected_dirs, (
+            f"{rel} changed outside the affected set {sorted(affected_dirs)}"
+        )
+
+
+@pytest.mark.parametrize("crash_after_write", [False, True])
+def test_crash_during_cluster_rewrite_then_retry(
+    spark, tmp_path, monkeypatch, crash_after_write
+):
+    """Kill the ingest at the cluster rewrite — before the overwrite ran
+    (backup exists, table untouched) and after it ran (table rewritten,
+    ledger not committed). The retry must converge to the clean result."""
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    st.ingest(old, "base")
+
+    real = storage.scoped_overwrite
+
+    def boom(df, table_path, part_col, scope_values):
+        if crash_after_write:
+            real(df, table_path, part_col, scope_values)
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(storage, "scoped_overwrite", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.ingest(b1, "b1")
+    assert "b1" not in st.committed
+    assert os.path.exists(st._staging("b1"))
+    monkeypatch.setattr(storage, "scoped_overwrite", real)
+
+    st.ingest(b1, "b1")
+    assert st.committed == ["base", "b1"]
+    assert not os.path.exists(st._staging("b1"))
+    assert _clusters(st.clusters()) == _full(old.unionByName(b1), T)
+
+
+def test_reopen_with_conflicting_params_raises(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.ingest(_docs(spark, corpus_rows()), "base")
+    with pytest.raises(ValueError, match="threshold"):
+        DedupStore(spark, st.root, threshold=0.9)
+    with pytest.raises(ValueError, match="invalid batch_id"):
+        st.ingest(_docs(spark, corpus_rows()), "_bad/id")
