@@ -12,7 +12,7 @@ Layout under ``root``::
   docs/        batch_id=<id>/…   (doc_id, text)          append-only
   doc_fps/     batch_id=<id>/…   (doc_id, fp_hash)       append-only
   fp_buckets/  batch_id=<id>/…   (fp_hash, rep_id, bucket) append-only
-  clusters/    _p=<n>/…          (doc_id, cluster_id)    doc-hash parts
+  clusters/    _b=<id>/…         (doc_id, cluster_id)    by INGEST batch
   _staging/<batch_id>/           pre-image backup of the cluster
                                  partitions a batch rewrites
   _dedup_store.json              LSH params + ORDERED committed-batch
@@ -22,12 +22,16 @@ Why this layout survives 100 TB: the three per-batch tables are written
 as ``batch_id`` partitions with dynamic partition overwrite, so a batch
 commit APPENDS O(batch) bytes and a retried commit idempotently replaces
 its own partition — the corpus-sized history is never rewritten.
-``clusters`` is partitioned by ``pmod(xxhash64(doc_id), n_parts)``: a
-doc's row never migrates partitions when its label changes, so a batch
-rewrites exactly the partitions holding ``clusters_delta`` rows (the
-supplement's partition-scoping certificate) and every other partition
-stays byte-identical on disk. ``n_parts`` defaults small for tests; at
-deployment scale set it so a partition is a few GB (e.g. 4096).
+``clusters`` is partitioned by ``_b`` = the batch that INGESTED the doc
+(immutable, so a row never migrates partitions when its label changes).
+Batch partitioning — not doc-hash partitioning — is what makes the
+rewrite O(batch region): a hash partitioning spreads ``clusters_delta``
+uniformly, so any batch with more delta rows than partitions rewrites
+the WHOLE table (measured: a 2k-doc batch touched 64/64 hash partitions);
+under ``_b`` the new docs land in the new batch's partition and the
+relabeled old docs fall only in the partitions of batches whose clusters
+this batch merged with — every other partition stays byte-identical on
+disk (the supplement's partition-scoping certificate).
 
 Crash-safety (each step idempotent, manifest written last):
 
@@ -68,7 +72,7 @@ from indra_db_spark.operators.dedup_incremental import (
 from indra_db_spark.sources import storage
 
 _MANIFEST = "_dedup_store.json"
-_PARAM_KEYS = ("k", "num_hashes", "bands", "hash_fn", "threshold", "n_parts")
+_PARAM_KEYS = ("k", "num_hashes", "bands", "hash_fn", "threshold")
 
 
 class DedupStore:
@@ -90,17 +94,15 @@ class DedupStore:
         bands: int | None = None,
         hash_fn: str | None = None,
         threshold: float | None = None,
-        n_parts: int | None = None,
     ):
         self.spark = spark
         self.root = root
         defaults = dict(
-            k=3, num_hashes=16, bands=4, hash_fn="xxhash64",
-            threshold=0.8, n_parts=16,
+            k=3, num_hashes=16, bands=4, hash_fn="xxhash64", threshold=0.8,
         )
         explicit = dict(
             k=k, num_hashes=num_hashes, bands=bands, hash_fn=hash_fn,
-            threshold=threshold, n_parts=n_parts,
+            threshold=threshold,
         )
         m = self._read_manifest()
         if m is not None:
@@ -168,11 +170,11 @@ class DedupStore:
             "doc_id", "cluster_id"
         )
 
+    def _clusters_with_batch(self) -> DataFrame:
+        return storage.read_table(self.spark, self._path("clusters"))
+
     # ------------------------------------------------------------------
     # write protocol
-    def _pcol(self):
-        return F.pmod(F.xxhash64("doc_id"), F.lit(self.params["n_parts"]))
-
     def _write_batch_tables(self, batch_id: str, b: DataFrame, fps: DataFrame,
                             buckets: DataFrame) -> None:
         for table, df in (("docs", b), ("doc_fps", fps), ("fp_buckets", buckets)):
@@ -197,21 +199,21 @@ class DedupStore:
         with open(meta_path) as f:
             meta = json.load(f)
         for p in meta["affected"]:
-            live = os.path.join(self._path("clusters"), f"_p={p}")
+            live = os.path.join(self._path("clusters"), f"_b={p}")
             shutil.rmtree(live, ignore_errors=True)
-            backup = os.path.join(stage, f"_p={p}")
+            backup = os.path.join(stage, f"_b={p}")
             if os.path.exists(backup):
                 shutil.copytree(backup, live)
         shutil.rmtree(stage, ignore_errors=True)
 
-    def _backup_partitions(self, batch_id: str, affected: list[int]) -> None:
+    def _backup_partitions(self, batch_id: str, affected: list[str]) -> None:
         stage = self._staging(batch_id)
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
         for p in affected:
-            live = os.path.join(self._path("clusters"), f"_p={p}")
+            live = os.path.join(self._path("clusters"), f"_b={p}")
             if os.path.exists(live):
-                shutil.copytree(live, os.path.join(stage, f"_p={p}"))
+                shutil.copytree(live, os.path.join(stage, f"_b={p}"))
         # affected.json written LAST: its presence certifies a complete
         # backup, so restore-on-retry never trusts a partial one
         storage._write_json_atomic(
@@ -250,9 +252,9 @@ class DedupStore:
         )
         idx = build_dedup_index(b, **self._lsh_kwargs())
         self._write_batch_tables(batch_id, b, idx.doc_fps, idx.fp_buckets)
-        clustered = clusters.withColumn("_p", self._pcol())
+        clustered = clusters.withColumn("_b", F.lit(batch_id))
         storage.write_table(
-            clustered, self._path("clusters"), ["_p"], mode="overwrite"
+            clustered, self._path("clusters"), ["_b"], mode="overwrite"
         )
         self._commit(batch_id)
         return {
@@ -265,11 +267,22 @@ class DedupStore:
             self.index(), self.clusters(), self.docs(), b,
             threshold=self.params["threshold"], **self._lsh_kwargs(),
         )
+        delta0 = res.clusters_delta.localCheckpoint()
+        # a delta row keeps its doc's INGEST-batch partition (old docs) or
+        # joins this batch's new partition; the lookup scans the cluster
+        # table once through a broadcast semi-join — never shuffles it
+        old_b = (
+            self._clusters_with_batch()
+            .join(F.broadcast(delta0.select("doc_id")), "doc_id", "left_semi")
+            .select("doc_id", "_b")
+        )
         delta = (
-            res.clusters_delta.withColumn("_p", self._pcol()).localCheckpoint()
+            delta0.join(F.broadcast(old_b), "doc_id", "left")
+            .withColumn("_b", F.coalesce("_b", F.lit(batch_id)))
+            .localCheckpoint()
         )
         affected = sorted(
-            r["_p"] for r in delta.select("_p").distinct().collect()
+            r["_b"] for r in delta.select("_b").distinct().collect()
         )
         self._write_batch_tables(
             batch_id, b, res.doc_fps_delta,
@@ -278,7 +291,7 @@ class DedupStore:
         n_delta = delta.count()
         if affected:
             old_in = storage.read_table(self.spark, self._path("clusters")).where(
-                F.col("_p").isin(affected)  # partition-pruned read
+                F.col("_b").isin(affected)  # partition-pruned read
             )
             content = (
                 old_in.join(delta.select("doc_id"), "doc_id", "left_anti")
@@ -287,7 +300,7 @@ class DedupStore:
             )
             self._backup_partitions(batch_id, affected)
             storage.scoped_overwrite(
-                content, self._path("clusters"), "_p", affected
+                content, self._path("clusters"), "_b", affected
             )
         self._commit(batch_id)
         shutil.rmtree(self._staging(batch_id), ignore_errors=True)
@@ -295,5 +308,5 @@ class DedupStore:
             "batch_id": batch_id, "noop": False, "bootstrap": False,
             "n_docs": b.count(), "delta_rows": n_delta,
             "affected_partitions": affected,
-            "total_partitions": self.params["n_parts"],
+            "total_partitions": len(self.committed),
         }

@@ -36,7 +36,6 @@ B2_ROWS = [
 
 def _store(spark, tmp_path, **kw):
     kw.setdefault("threshold", T)
-    kw.setdefault("n_parts", 8)
     return DedupStore(spark, str(tmp_path / "store"), **kw)
 
 
@@ -82,7 +81,7 @@ def test_store_batches_equal_rebuild_and_reopen(spark, tmp_path):
 
     # reopen: params adopted from the manifest, state identical
     st2 = DedupStore(spark, str(tmp_path / "store"))
-    assert st2.params["threshold"] == T and st2.params["n_parts"] == 8
+    assert st2.params["threshold"] == T and st2.params["bands"] == 4
     assert st2.committed == ["base", "b1", "b2"]
     assert _clusters(st2.clusters()) == _full(corpus2, T)
 
@@ -101,12 +100,26 @@ def test_reingest_committed_batch_is_noop(spark, tmp_path):
 
 
 def test_unaffected_partitions_untouched_on_disk(spark, tmp_path):
+    """A batch whose merges only reach batch-1 clusters must leave the
+    base batch's cluster partition byte-identical on disk — the
+    batch-partitioned layout's O(batch region) rewrite claim."""
     st = _store(spark, tmp_path)
     st.ingest(_docs(spark, corpus_rows()), "base")
+    st.ingest(_docs(spark, batch_rows()), "b1")
     before = _cluster_files(st.root)
-    stats = st.ingest(_docs(spark, batch_rows()), "b1")
+    b2 = _docs(
+        spark,
+        [
+            (202, "brand new content that matches nothing else at all here"),
+            # ^ exact dup of the b1-only cluster {105, 106}
+            (204, "wholly distinct trailing document closing the test set"),
+        ],
+    )
+    stats = st.ingest(b2, "b2")
     after = _cluster_files(st.root)
-    affected_dirs = {f"_p={p}" for p in stats["affected_partitions"]}
+    assert "base" not in stats["affected_partitions"]
+    assert set(stats["affected_partitions"]) == {"b1", "b2"}
+    affected_dirs = {f"_b={p}" for p in stats["affected_partitions"]}
     changed = {
         rel
         for rel in set(before) | set(after)
@@ -117,6 +130,8 @@ def test_unaffected_partitions_untouched_on_disk(spark, tmp_path):
         assert rel.split(os.sep)[0] in affected_dirs, (
             f"{rel} changed outside the affected set {sorted(affected_dirs)}"
         )
+    corpus = _docs(spark, corpus_rows() + batch_rows()).unionByName(b2)
+    assert _clusters(st.clusters()) == _full(corpus, T)
 
 
 @pytest.mark.parametrize("crash_after_write", [False, True])
