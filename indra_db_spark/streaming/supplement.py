@@ -318,8 +318,16 @@ def supplement_corpus(
     merged_link_b = merged_link.select(*link_cols).withColumn(
         "bucket", F.pmod("supported_mk_hash", F.lit(PA_BUCKETS))
     ).localCheckpoint()
-    removed = old_link.join(merged_link.select(*link_cols), link_cols, "left_anti")
-    added = merged_link.select(*link_cols).join(old_link, link_cols, "left_anti")
+    # removed/added are consumed again AFTER pa_link is overwritten below
+    # (the pa_groups touched-set union) — materialize them now, while the
+    # old pa_link files they read still exist. Both are small by
+    # construction (the batch's changed edge set).
+    removed = old_link.join(
+        merged_link.select(*link_cols), link_cols, "left_anti"
+    ).localCheckpoint()
+    added = merged_link.select(*link_cols).join(
+        old_link, link_cols, "left_anti"
+    ).localCheckpoint()
     link_buckets = [
         r["b"]
         for r in removed.unionByName(added)

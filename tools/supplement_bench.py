@@ -94,6 +94,16 @@ def table_aggregates(spark, out_dir: str) -> dict:
     pa = storage.read_table(spark, f"{out_dir}/pa_statements")
     link = storage.read_table(spark, f"{out_dir}/pa_link")
     ev = storage.read_table(spark, f"{out_dir}/evidence")
+    grp = storage.read_table(spark, f"{out_dir}/pa_groups")
+    grow = grp.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(
+            F.sum(
+                F.xxhash64("mk_hash", "component_id").cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).alias("sig"),
+    ).collect()[0]
     row = pa.agg(
         F.count(F.lit(1)).alias("pa_rows"),
         F.sum(F.round(F.col("belief") * 1e6).cast("long")).alias("belief_sum"),
@@ -105,6 +115,8 @@ def table_aggregates(spark, out_dir: str) -> dict:
         "ev_count_sum": int(row["ev_count_sum"]),
         "link_rows": link.count(),
         "evidence_rows": ev.count(),
+        "groups_rows": grow["rows"],
+        "groups_sig": int(grow["sig"]),
     }
 
 
@@ -138,9 +150,15 @@ def main() -> None:
     base_wall = time.time() - t0
 
     batch, n_distinct_stmts = batch_pages(spark, n_batch)
+    import pyspark.sql.functions as SF
+
+    batch_days = batch.select(
+        SF.date_format("warc_ts", "yyyy-MM-dd").alias("d")
+    ).distinct().count()
+    base_raw_days = len(_partition_mtimes(f"{base_dir}/raw_statements"))
     pre = {
         t: _partition_mtimes(f"{base_dir}/{t}")
-        for t in ("evidence", "pa_statements", "pa_link")
+        for t in ("evidence", "pa_statements", "pa_link", "pa_groups")
     }
     t0 = time.time()
     supplement_mod.supplement_corpus(spark, base_dir, batch,
@@ -148,7 +166,7 @@ def main() -> None:
     sup_wall = time.time() - t0
     post = {
         t: _partition_mtimes(f"{base_dir}/{t}")
-        for t in ("evidence", "pa_statements", "pa_link")
+        for t in ("evidence", "pa_statements", "pa_link", "pa_groups")
     }
     parts = {}
     for t in pre:
@@ -178,6 +196,13 @@ def main() -> None:
                 "rebuild_wall_s": round(rebuild_wall, 1),
                 "speedup_vs_rebuild": round(rebuild_wall / sup_wall, 2),
                 "partitions": parts,
+                # r5: the raw_id idempotence anti-join is day-scoped —
+                # it reads only the batch's own day partitions of the
+                # raw log, not the corpus (partition-pruned)
+                "raw_anti_join_days": {
+                    "scanned": batch_days,
+                    "total_in_base": base_raw_days,
+                },
                 "aggregates_equal": sup_agg == full_agg,
                 "supplement_aggregates": sup_agg,
                 "rebuild_aggregates": full_agg,
