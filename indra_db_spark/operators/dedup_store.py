@@ -166,12 +166,15 @@ class DedupStore:
         )
 
     def clusters(self) -> DataFrame:
-        return storage.read_table(self.spark, self._path("clusters")).select(
-            "doc_id", "cluster_id"
-        )
+        return self._clusters_with_batch().select("doc_id", "cluster_id")
 
     def _clusters_with_batch(self) -> DataFrame:
-        return storage.read_table(self.spark, self._path("clusters"))
+        # ledger-scoped like the batched tables: a partition whose batch
+        # is no longer (or not yet) in the ledger — a crashed compaction's
+        # leftovers, a half-committed ingest — must be invisible
+        return storage.read_table(self.spark, self._path("clusters")).where(
+            F.col("_b").isin(self.committed)
+        )
 
     # ------------------------------------------------------------------
     # write protocol
@@ -220,11 +223,48 @@ class DedupStore:
             os.path.join(stage, "affected.json"), {"affected": affected}
         )
 
-    def ingest(self, batch: DataFrame, batch_id: str,
-               id_col: str = "doc_id", text_col: str = "text") -> dict:
-        """Commit one crawl batch; returns per-batch stats."""
+    @staticmethod
+    def _check_batch_id(batch_id: str) -> None:
         if "/" in batch_id or batch_id.startswith("_") or not batch_id:
             raise ValueError(f"invalid batch_id {batch_id!r}")
+
+    def _check_ids(self, b: DataFrame, against_corpus: bool) -> None:
+        """doc_id is the corpus-wide identity every table keys on — a
+        re-used id would silently corrupt the index (two fingerprints for
+        one id) rather than fail. One O(batch) agg + (for supplements)
+        one broadcast-semi corpus scan of doc_fps, which the supplement
+        scans anyway."""
+        row = b.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("d"),
+        ).collect()[0]
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"batch has {row['n'] - row['d']} duplicate doc_id rows"
+            )
+        if against_corpus:
+            clash = (
+                self._read_batched("doc_fps")
+                .join(F.broadcast(b.select("doc_id")), "doc_id", "left_semi")
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    f"{clash} batch doc_ids already ingested — doc_id must "
+                    "be unique corpus-wide (re-delivery of a whole batch is "
+                    "handled by batch_id idempotency, not row overlap)"
+                )
+
+    def ingest(self, batch: DataFrame, batch_id: str,
+               id_col: str = "doc_id", text_col: str = "text",
+               strict_ids: bool = True) -> dict:
+        """Commit one crawl batch; returns per-batch stats.
+
+        ``strict_ids`` (default on) rejects duplicate doc_ids within the
+        batch and doc_ids already in the corpus; pass False only when the
+        caller guarantees uniqueness and wants the scan back.
+        """
+        self._check_batch_id(batch_id)
         if batch_id in self.committed:
             shutil.rmtree(self._staging(batch_id), ignore_errors=True)
             return {"batch_id": batch_id, "noop": True}
@@ -234,7 +274,11 @@ class DedupStore:
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         if not self.committed:
+            if strict_ids:
+                self._check_ids(b, against_corpus=False)
             return self._bootstrap(b, batch_id)
+        if strict_ids:
+            self._check_ids(b, against_corpus=True)
         return self._supplement(b, batch_id)
 
     def _lsh_kwargs(self) -> dict:
@@ -309,4 +353,82 @@ class DedupStore:
             "n_docs": b.count(), "delta_rows": n_delta,
             "affected_partitions": affected,
             "total_partitions": len(self.committed),
+        }
+
+    # ------------------------------------------------------------------
+    # compaction (Iceberg rewrite-data-files / snapshot-expiry analog)
+    def _swap_ledger(self, batches: list[str]) -> None:
+        storage._write_json_atomic(
+            os.path.join(self.root, _MANIFEST),
+            {"params": self.params, "batches": batches},
+        )
+
+    def _gc(self, keep: set[str]) -> int:
+        removed = 0
+        for table, col in (
+            ("docs", "batch_id"), ("doc_fps", "batch_id"),
+            ("fp_buckets", "batch_id"), ("clusters", "_b"),
+        ):
+            tdir = self._path(table)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                if name.startswith(f"{col}=") and name.split("=", 1)[1] not in keep:
+                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                    removed += 1
+        return removed
+
+    def compact(self, compacted_id: str) -> dict:
+        """Rewrite the committed history into ONE partition per table.
+
+        Per-batch partitions accumulate at crawl cadence (one per ingest)
+        and listing/planning cost grows with their count; periodically a
+        compaction folds them into a single ``compacted_id`` batch — the
+        resulting store reads exactly like one bootstrapped with the
+        whole corpus. Same manifest-last discipline as ``ingest``: the
+        new partitions are written first (invisible — ``compacted_id`` is
+        not in the ledger, and every read is ledger-scoped), then the
+        ledger atomically swaps to ``[compacted_id]``, then unreferenced
+        partitions are garbage-collected. A crash before the swap leaves
+        the old ledger reading the old partitions; a crash after it
+        leaves stale-but-invisible directories that any later compact's
+        GC removes.
+        """
+        self._check_batch_id(compacted_id)
+        if not self.committed:
+            raise ValueError("nothing to compact: empty store")
+        if self.committed == [compacted_id]:
+            return {"batch_id": compacted_id, "noop": True}
+        if compacted_id in self.committed:
+            raise ValueError(
+                f"compacted_id {compacted_id!r} is already a committed "
+                "batch — pick a fresh id"
+            )
+        n_before = len(self.committed)
+        # each frame is checkpointed before its write: every write lands
+        # in the table it reads (same path), and severed lineage is what
+        # keeps Spark's overwrite-while-reading check and the GC below
+        # (which deletes the very files the plans would re-read) safe
+        self._write_batch_tables(
+            compacted_id,
+            self.docs().localCheckpoint(),
+            self._read_batched("doc_fps").localCheckpoint(),
+            self._read_batched("fp_buckets").localCheckpoint(),
+        )
+        # clusters: relabel every row's partition to the compacted batch;
+        # only the NEW _b partition is written (dynamic overwrite replaces
+        # partitions present in the frame)
+        storage.write_table(
+            self.clusters()
+            .withColumn("_b", F.lit(compacted_id))
+            .localCheckpoint(),
+            self._path("clusters"),
+            ["_b"],
+            mode="overwrite_partitions",
+        )
+        self._swap_ledger([compacted_id])
+        removed = self._gc({compacted_id})
+        return {
+            "batch_id": compacted_id, "noop": False,
+            "batches_compacted": n_before, "partitions_removed": removed,
         }

@@ -173,3 +173,84 @@ def test_reopen_with_conflicting_params_raises(spark, tmp_path):
         DedupStore(spark, st.root, threshold=0.9)
     with pytest.raises(ValueError, match="invalid batch_id"):
         st.ingest(_docs(spark, corpus_rows()), "_bad/id")
+
+
+def test_compact_folds_history_and_ingest_continues(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    b2 = _docs(spark, B2_ROWS)
+    st.ingest(old, "base")
+    st.ingest(b1, "b1")
+    corpus1 = old.unionByName(b1)
+    before = _clusters(st.clusters())
+
+    stats = st.compact("c0001")
+    assert stats["batches_compacted"] == 2 and not stats["noop"]
+    assert st.committed == ["c0001"]
+    assert _clusters(st.clusters()) == before == _full(corpus1, T)
+    assert st.docs().count() == corpus1.count()
+    # on disk: exactly one partition per table survives
+    for table, col in (
+        ("docs", "batch_id"), ("doc_fps", "batch_id"),
+        ("fp_buckets", "batch_id"), ("clusters", "_b"),
+    ):
+        dirs = [
+            n for n in os.listdir(os.path.join(st.root, table))
+            if n.startswith(f"{col}=")
+        ]
+        assert dirs == [f"{col}=c0001"], (table, dirs)
+    # re-compacting to the same id is a no-op; to a committed id an error
+    assert st.compact("c0001")["noop"]
+
+    st.ingest(b2, "b2")
+    assert _clusters(st.clusters()) == _full(corpus1.unionByName(b2), T)
+
+
+def test_compact_crash_before_swap_and_after_swap(spark, tmp_path, monkeypatch):
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    st.ingest(old, "base")
+    st.ingest(b1, "b1")
+    corpus1 = old.unionByName(b1)
+    expect = _full(corpus1, T)
+
+    # crash BEFORE the ledger swap: new partitions written but invisible
+    def no_swap(batches):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(st, "_swap_ledger", no_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.compact("c0001")
+    monkeypatch.undo()
+    assert st.committed == ["base", "b1"]
+    assert _clusters(st.clusters()) == expect  # stale c0001 dirs invisible
+
+    # crash AFTER the swap, before GC: ledger-scoped reads hide the
+    # now-unreferenced old partitions
+    real_gc = st._gc
+    monkeypatch.setattr(st, "_gc", lambda keep: (_ for _ in ()).throw(
+        RuntimeError("injected crash")
+    ))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.compact("c0002")
+    monkeypatch.undo()
+    assert st.committed == ["c0002"]
+    assert _clusters(st.clusters()) == expect
+    real_gc({"c0002"})
+    assert _clusters(st.clusters()) == expect
+
+
+def test_strict_ids_reject_duplicates(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    dup_batch = _docs(spark, corpus_rows() + [(1, "repeat of id one")])
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        st.ingest(dup_batch, "base")
+    st.ingest(_docs(spark, corpus_rows()), "base")
+    overlapping = _docs(spark, [(1, "already ingested"), (300, "fresh")])
+    with pytest.raises(ValueError, match="already ingested"):
+        st.ingest(overlapping, "b1")
+    # strict_ids=False lets the caller take responsibility
+    st.ingest(_docs(spark, [(300, "fresh")]), "b1")
+    assert st.committed == ["base", "b1"]
