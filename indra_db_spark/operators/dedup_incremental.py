@@ -302,9 +302,15 @@ def supplement_dedup_clusters(
 
     contracted = contract(contract(edges, "doc_a"), "doc_b")
     cc = connected_components(contracted, src="doc_a", dst="doc_b")
-    relabel = cc.select(
+    node_labels = cc.select(
         F.col("mk_hash").alias("_node"), F.col("component_id").alias("_new")
     ).localCheckpoint()
+    # relabel/delta must be EXACTLY the rows that differ: a contracted
+    # node whose merged label equals its old label (e.g. an old cluster
+    # absorbing a new doc keeps its min-member label) re-emitted here
+    # would make the store back up and rewrite partitions byte-identically
+    # — wasted I/O and a widened crash window on every touching batch
+    relabel = node_labels.where(F.col("_node") != F.col("_new"))
 
     # --- assemble the full cluster table ------------------------------
     touched_old = old_clusters.join(
@@ -316,17 +322,21 @@ def supplement_dedup_clusters(
         "left_anti",
     )
     # previously-unclustered endpoints (batch docs, absorbed singletons):
-    # their contracted node is the doc itself
+    # their contracted node is the doc itself; these need the FULL node
+    # labeling — a new doc that is itself its component's min is a new
+    # row even though _node == _new
     edge_docs = (
         edges.select(F.col("doc_a").alias(id_col))
         .union(edges.select("doc_b"))
         .distinct()
         .join(old_clusters.select(id_col), id_col, "left_anti")
-        .join(relabel.withColumnRenamed("_node", id_col), id_col)
+        .join(node_labels.withColumnRenamed("_node", id_col), id_col)
         .select(id_col, F.col("_new").alias("cluster_id"))
     )
     delta = touched_old.unionByName(edge_docs)
-    new_clusters = kept_old.unionByName(delta)
+    # kept_old's USING anti-join moved cluster_id first — re-pin the
+    # rebuild's (doc_id, cluster_id) order for schema-stable consumers
+    new_clusters = kept_old.unionByName(delta).select(id_col, "cluster_id")
 
     new_index = DedupIndex(
         doc_fps=index.doc_fps.unionByName(b_fps),

@@ -35,17 +35,28 @@ disk (the supplement's partition-scoping certificate).
 
 Crash-safety (each step idempotent, manifest written last):
 
-  1. ``batch_id`` already in the ledger → no-op (clean leftover staging).
-  2. Leftover ``_staging/<batch_id>`` → a prior attempt crashed mid-
-     cluster-rewrite: restore the backed-up pre-image partitions (and
-     delete affected partitions that had no pre-image) so the recompute
-     reads exactly the pre-batch cluster state.
+  1. EVERY public entry point — ``ingest``/``compact``/``docs``/
+     ``index``/``clusters`` — first self-heals (``_recover``): a
+     leftover ``_staging/<id>`` for an UNCOMMITTED batch means a prior
+     attempt crashed mid-cluster-rewrite, so the backed-up pre-image
+     partitions are restored (and affected partitions with no pre-image
+     deleted); leftover staging for a COMMITTED batch (crash after the
+     ledger write) is simply dropped. Readers therefore never see a
+     half-rewritten ledger-visible partition, and compaction can never
+     bake one in.
+  2. ``batch_id`` already in the ledger → no-op.
   3. Reads of docs/doc_fps/fp_buckets filter to LEDGER batches only
      (partition-pruned), so half-written partitions of the current batch
      are invisible to the recompute.
   4. Per-batch partitions are (re)written, the affected cluster
      partitions are backed up to staging, rewritten via
      ``storage.scoped_overwrite``, and ONLY THEN the ledger commits.
+
+Commit cost is O(batch), really: every write passes
+``compute_signature=False, recount=False`` — the manifest's whole-table
+content hash and footer recount are rebuild-time audit features; here
+the LEDGER is the commit pointer and re-hashing a 100-TB corpus to
+append one crawl batch would defeat the contract above.
 
 Equivalence invariant (property-tested in tests/test_dedup_store.py):
 after any sequence of ``ingest`` calls — including retries after
@@ -58,6 +69,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +85,8 @@ from indra_db_spark.sources import storage
 
 _MANIFEST = "_dedup_store.json"
 _PARAM_KEYS = ("k", "num_hashes", "bands", "hash_fn", "threshold")
+# chars Spark never Hive-escapes in partition dir names (see _check_batch_id)
+_BATCH_ID_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
 
 
 class DedupStore:
@@ -130,6 +144,28 @@ class DedupStore:
     def _staging(self, batch_id: str) -> str:
         return os.path.join(self.root, "_staging", batch_id)
 
+    def _recover(self) -> None:
+        """Self-heal ANY crashed attempt's partial cluster rewrite before
+        reading or writing — not just a retry of the same batch_id.
+        A leftover ``_staging/<id>`` means an ingest crashed after backing
+        up the affected cluster partitions: if ``<id>`` never committed,
+        the live partitions may be half-rewritten (ledger-visible but
+        post-batch), so restore the pre-images; if ``<id>`` DID commit,
+        the crash was after the ledger write and the backup is merely
+        stale — drop it. Without this, ``clusters()``/``index()`` after a
+        crash read a mix of pre- and post-batch rows, and ``compact()``
+        would bake that mix in permanently. One listdir when the staging
+        dir is absent — free on the happy path."""
+        sdir = os.path.join(self.root, "_staging")
+        if not os.path.isdir(sdir):
+            return
+        committed = set(self.committed)
+        for name in os.listdir(sdir):
+            if name in committed:
+                shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+            else:
+                self._restore_staging(name)
+
     def _read_manifest(self) -> dict | None:
         p = os.path.join(self.root, _MANIFEST)
         if not os.path.exists(p):
@@ -157,15 +193,18 @@ class DedupStore:
         return df.drop("batch_id") if drop_id else df
 
     def docs(self) -> DataFrame:
+        self._recover()
         return self._read_batched("docs")
 
     def index(self) -> DedupIndex:
+        self._recover()
         return DedupIndex(
             doc_fps=self._read_batched("doc_fps"),
             fp_buckets=self._read_batched("fp_buckets"),
         )
 
     def clusters(self) -> DataFrame:
+        self._recover()
         return self._clusters_with_batch().select("doc_id", "cluster_id")
 
     def _clusters_with_batch(self) -> DataFrame:
@@ -180,12 +219,19 @@ class DedupStore:
     # write protocol
     def _write_batch_tables(self, batch_id: str, b: DataFrame, fps: DataFrame,
                             buckets: DataFrame) -> None:
+        # compute_signature/recount off: the default manifest extras
+        # re-read and content-hash the WHOLE table per commit — O(corpus)
+        # work that would defeat the store's O(batch) commit contract
+        # (the ledger, not the manifest snapshot, is this store's
+        # correctness pointer)
         for table, df in (("docs", b), ("doc_fps", fps), ("fp_buckets", buckets)):
             storage.write_table(
                 df.withColumn("batch_id", F.lit(batch_id)),
                 self._path(table),
                 ["batch_id"],
                 mode="overwrite_partitions",
+                compute_signature=False,
+                recount=False,
             )
 
     def _restore_staging(self, batch_id: str) -> None:
@@ -225,8 +271,17 @@ class DedupStore:
 
     @staticmethod
     def _check_batch_id(batch_id: str) -> None:
-        if "/" in batch_id or batch_id.startswith("_") or not batch_id:
-            raise ValueError(f"invalid batch_id {batch_id!r}")
+        # [A-Za-z0-9._-] only: Spark Hive-ESCAPES other characters in
+        # partition directory names (':' → '%3A'), so a raw
+        # f"_b={batch_id}" path built by staging backup/restore/GC would
+        # point at a directory that does not exist — backups would
+        # silently miss, and GC could delete freshly written escaped
+        # partitions. Reject up front instead of corrupting later.
+        if not _BATCH_ID_RE.fullmatch(batch_id):
+            raise ValueError(
+                f"invalid batch_id {batch_id!r}: use letters, digits, "
+                "'.', '_', '-'; must start with a letter or digit"
+            )
 
     def _check_ids(self, b: DataFrame, against_corpus: bool) -> None:
         """doc_id is the corpus-wide identity every table keys on — a
@@ -265,11 +320,9 @@ class DedupStore:
         caller guarantees uniqueness and wants the scan back.
         """
         self._check_batch_id(batch_id)
+        self._recover()  # restore ANY crashed attempt, this batch or not
         if batch_id in self.committed:
-            shutil.rmtree(self._staging(batch_id), ignore_errors=True)
             return {"batch_id": batch_id, "noop": True}
-        if os.path.exists(self._staging(batch_id)):
-            self._restore_staging(batch_id)
         b = batch.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
@@ -298,7 +351,8 @@ class DedupStore:
         self._write_batch_tables(batch_id, b, idx.doc_fps, idx.fp_buckets)
         clustered = clusters.withColumn("_b", F.lit(batch_id))
         storage.write_table(
-            clustered, self._path("clusters"), ["_b"], mode="overwrite"
+            clustered, self._path("clusters"), ["_b"], mode="overwrite",
+            compute_signature=False,
         )
         self._commit(batch_id)
         return {
@@ -344,7 +398,8 @@ class DedupStore:
             )
             self._backup_partitions(batch_id, affected)
             storage.scoped_overwrite(
-                content, self._path("clusters"), "_b", affected
+                content, self._path("clusters"), "_b", affected,
+                compute_signature=False, recount=False,
             )
         self._commit(batch_id)
         shutil.rmtree(self._staging(batch_id), ignore_errors=True)
@@ -395,6 +450,7 @@ class DedupStore:
         GC removes.
         """
         self._check_batch_id(compacted_id)
+        self._recover()  # never compact a half-rewritten cluster table
         if not self.committed:
             raise ValueError("nothing to compact: empty store")
         if self.committed == [compacted_id]:
@@ -425,6 +481,8 @@ class DedupStore:
             self._path("clusters"),
             ["_b"],
             mode="overwrite_partitions",
+            compute_signature=False,
+            recount=False,
         )
         self._swap_ledger([compacted_id])
         removed = self._gc({compacted_id})

@@ -133,6 +133,12 @@ def parse_media_header(payload: bytes | None) -> dict:
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 25 and b[12:16] == b"IHDR":
         w, h = struct.unpack(">II", b[16:24])
+        # the header fields are Int32 columns: a declared dimension past
+        # 2^31-1 (PNG u32 allows it; the spec caps at 2^31-1) would make
+        # the Arrow batch constructor raise and kill the task — treat the
+        # bogus header as unparseable instead
+        if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+            return dict(_NULL_HEADER)
         return {
             **_NULL_HEADER,
             "format": "png", "width": w, "height": h, "bit_depth": b[24],
@@ -144,13 +150,21 @@ def parse_media_header(payload: bytes | None) -> dict:
         try:
             with wave.open(io.BytesIO(b)) as wf:
                 rate = wf.getframerate()
+                frames = wf.getnframes()
+                # a fmt chunk may declare rate 0 (corrupt/crafted) — the
+                # container still opens; never divide by it
+                dur = (
+                    int(round(frames * 1000 / rate))
+                    if 0 < rate and frames * 1000 // rate <= 0x7FFFFFFF
+                    else None
+                )
                 return {
                     **_NULL_HEADER,
                     "format": "wav",
                     "bit_depth": 8 * wf.getsampwidth(),
-                    "sample_rate": rate,
+                    "sample_rate": rate if rate <= 0x7FFFFFFF else None,
                     "n_channels": wf.getnchannels(),
-                    "duration_ms": int(round(wf.getnframes() * 1000 / rate)),
+                    "duration_ms": dur,
                 }
         except (wave.Error, EOFError):
             return dict(_NULL_HEADER)

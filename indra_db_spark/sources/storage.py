@@ -70,8 +70,19 @@ def write_table(
     files_per_partition: int = 8,
     sort_by: list[str] | None = None,
     input_clustered: bool = False,
+    recount: bool = True,
 ) -> dict:
     """Write a table + manifest; returns the manifest dict.
+
+    ``compute_signature=False`` + ``recount=False`` is the O(batch)
+    commit: by default an ``overwrite_partitions``/``append`` write
+    re-reads the WHOLE table to produce the manifest's ``snapshot_id``
+    (full content hash) and ``row_count`` (footer recount) — determinism
+    evidence worth paying for on rebuild outputs, but a per-batch
+    incremental commit (dedup_store, supplement) re-hashing a 100-TB
+    corpus to append 10k rows defeats the O(batch) contract. With
+    ``recount=False`` the manifest records ``rows_written`` (this job's
+    observed rows) and omits the table-wide ``row_count``.
 
     ``sort_by``: sortWithinPartitions before writing — parquet min/max
     column stats then prune row groups for point lookups on those columns
@@ -141,10 +152,16 @@ def write_table(
     else:
         writer.parquet(path)
     n_rows = obs.get["rows"]
+    rows_written = n_rows
     if mode == "overwrite_partitions":
         # written-rows ≠ table rows (untouched partitions persist):
-        # recount from footers — a metadata-only job for parquet.
-        n_rows = df.sparkSession.read.schema(df.schema).parquet(path).count()
+        # recount from footers — a metadata-only job for parquet, but
+        # still O(table files); incremental commits skip it (recount=False)
+        n_rows = (
+            df.sparkSession.read.schema(df.schema).parquet(path).count()
+            if recount
+            else None
+        )
     if mode == "append":
         # the manifest describes the TABLE, not the batch — accumulate the
         # prior manifest's count so audits reading row_count stay truthful
@@ -152,7 +169,12 @@ def write_table(
         if os.path.exists(prior_path):
             try:
                 with open(prior_path) as f:
-                    n_rows += json.load(f).get("row_count", 0)
+                    prior_count = json.load(f).get("row_count")
+                # a prior fast commit omitted row_count — accumulating
+                # from 0 would silently undercount, so stay unknown
+                n_rows = (
+                    n_rows + prior_count if prior_count is not None else None
+                )
             except (json.JSONDecodeError, OSError):
                 pass
     manifest = {
@@ -160,9 +182,14 @@ def write_table(
         "schema": df.schema.jsonValue(),
         "partition_by": partition_by or [],
         "committed_at_unix": int(time.time()),
-        # row count piggybacks on the write job (Observation) — no re-read
-        "row_count": n_rows,
+        # observed rows of THIS job — always O(batch) (Observation)
+        "rows_written": rows_written,
     }
+    if n_rows is not None:
+        # table-wide count piggybacks on the write job (Observation) for
+        # full overwrites; recounted/accumulated otherwise, unless the
+        # commit opted out (recount=False)
+        manifest["row_count"] = n_rows
     if compute_signature:
         # full content hash — determinism evidence; skipped in bench jobs
         spark = df.sparkSession
@@ -205,6 +232,8 @@ def scoped_overwrite(
     table_path: str,
     part_col: str,
     scope_values: list,
+    compute_signature: bool = True,
+    recount: bool = True,
 ) -> None:
     """Dynamic-partition-overwrite ``df`` (already restricted to the
     ``scope_values`` partitions) into ``table_path``, dropping any scoped
@@ -219,7 +248,14 @@ def scoped_overwrite(
     for v in scope_values:
         if v not in surviving:
             shutil.rmtree(f"{table_path}/{part_col}={v}", ignore_errors=True)
-    write_table(df, table_path, [part_col], mode="overwrite_partitions")
+    write_table(
+        df,
+        table_path,
+        [part_col],
+        mode="overwrite_partitions",
+        compute_signature=compute_signature,
+        recount=recount,
+    )
 
 
 def append_lazy(
@@ -231,7 +267,10 @@ def append_lazy(
         # read_table, not spark.read.parquet: an existing-but-empty table
         # has no parquet footers to infer a schema from
         existing = read_table(spark, path).select(*key_cols)
-        df = df.join(existing, key_cols, "left_anti")
+        cols = df.columns
+        # the USING anti-join moves key_cols first — restore the caller's
+        # order so the appended manifest schema matches the first write's
+        df = df.join(existing, key_cols, "left_anti").select(*cols)
     return write_table(df, path, partition_by, mode="append")
 
 

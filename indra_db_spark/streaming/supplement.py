@@ -30,6 +30,8 @@ tested in tests/test_supplement.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,7 +41,10 @@ from indra_db_spark.operators import distill as distill_op
 from indra_db_spark.operators import extract as extract_op
 from indra_db_spark.operators import grounding as ground_op
 from indra_db_spark.operators import refine as refine_op
-from indra_db_spark.operators.components import connected_components
+from indra_db_spark.operators.components import (
+    assign_components,
+    connected_components,
+)
 from indra_db_spark.sources import dims as dims_mod
 from indra_db_spark.sources import storage
 from indra_db_spark.pipeline import PA_BUCKETS
@@ -141,12 +146,18 @@ def supplement_corpus(
     old_raw_batch_days = storage.read_table(
         spark, path("raw_statements")
     ).where(F.col("day").isin(batch_days))
-    new_raw = ground_op.ground_statements(
+    grounded = ground_op.ground_statements(
         extract_op.extract_statements(new_pages, extractor_version),
         grounding_map,
         source_expr=source_expr,
-    ).join(old_raw_batch_days.select("raw_id"), "raw_id", "left_anti")
-    new_raw = new_raw.localCheckpoint()  # consumed several times below
+    )
+    new_raw = (
+        grounded.join(old_raw_batch_days.select("raw_id"), "raw_id", "left_anti")
+        # the USING anti-join moves raw_id first; keep the table's order
+        # so the append's manifest schema matches the rebuild's
+        .select(*grounded.columns)
+        .localCheckpoint()  # consumed several times below
+    )
 
     # 3. affected hashes: new batch hashes ∪ all hashes on re-read PAGES.
     # Urls come from new_pages, not new_raw: a re-read page that yields
@@ -284,13 +295,22 @@ def supplement_corpus(
         old_ev.join(F.broadcast(aff_days), "day", "left_semi")
         .join(affected, "mk_hash", "left_anti")
         .unionByName(new_ev)
+        # USING joins move their keys first — re-pin the rebuild's order
+        # (build_evidence's) so the manifest schema stays identical
+        .select(*new_ev.columns)
         .localCheckpoint()  # plan reads the files the write replaces
     )
+    # every incremental write is a FAST commit (no whole-table content
+    # hash / footer recount in the manifest — those default extras are
+    # O(corpus) per batch, the same defeat as dedup_store's; rebuilds via
+    # run_pipeline keep them as determinism evidence)
     _scoped_overwrite(
         merged_evidence,
         path("evidence"),
         "day",
         [r["day"] for r in aff_days.collect()],
+        compute_signature=False,
+        recount=False,
     )
 
     # pa_statements: bucket-scoped rewrite. A pa row changes only when
@@ -310,10 +330,32 @@ def supplement_corpus(
         path("pa_statements"),
         "bucket",
         dirty_buckets,
+        compute_signature=False,
+        recount=False,
     )
 
     # pa_link: bucket-scoped on pmod(supported_mk_hash) — the changed
     # edge set is (removed ∪ added), both small-side by construction.
+    #
+    # CRASH WINDOW (the in-flight marker below): every table except
+    # pa_groups is ROW-LOCAL — after a crash mid-write, each row on disk
+    # is either its pre- or post-batch version and the retry's anti-join/
+    # union merges heal it row by row. pa_groups rows are NOT independent
+    # (labels couple a whole component), and worse, the incremental seed
+    # below derives its dirty region from the DIFF against pa_link: a
+    # retry after a crash between the pa_link overwrite and the pa_groups
+    # overwrite sees an empty diff (pa_link already merged), misses the
+    # merge region, and permanently splits components that a rebuild
+    # would join. So the two coupled writes are bracketed by a marker
+    # file: written before the pa_link overwrite, removed after the
+    # pa_groups overwrite. A retry that finds the marker falls back to
+    # the self-healing FULL CC recompute + full pa_groups overwrite
+    # (exactly the pre-r5 per-batch behavior — paid only on crash
+    # recovery), which is correct against ANY mixed pa_link/pa_groups
+    # disk state because it reads only the recomputed in-memory
+    # merged_link_b.
+    inflight_marker = f"{out_dir}/_supplement_inflight.json"
+    groups_need_full_cc = os.path.exists(inflight_marker)
     link_cols = ["supported_mk_hash", "supporting_mk_hash"]
     merged_link_b = merged_link.select(*link_cols).withColumn(
         "bucket", F.pmod("supported_mk_hash", F.lit(PA_BUCKETS))
@@ -335,11 +377,17 @@ def supplement_corpus(
         .distinct()
         .collect()
     ]
+    storage._write_json_atomic(
+        inflight_marker,
+        {"stage": "pa_link+pa_groups", "batch_days": sorted(batch_days)},
+    )
     _scoped_overwrite(
         merged_link_b.where(F.col("bucket").isin(link_buckets)),
         path("pa_link"),
         "bucket",
         link_buckets,
+        compute_signature=False,
+        recount=False,
     )
 
     # pa_groups: INCREMENTAL connected components (VERDICT r4 #2 — this
@@ -368,6 +416,23 @@ def supplement_corpus(
     # region member are rewritten. The CC iterations now cost
     # O(dirty region), not O(corpus); the remaining corpus-order work is
     # three single-pass joins against pa_groups (two longs per row).
+    if groups_need_full_cc:
+        # a prior attempt crashed inside the marker-bracketed window: the
+        # on-disk pa_link/pa_groups may be any per-partition mix of pre-
+        # and post-batch state, so the diff-seeded incremental path below
+        # is unsound — recompute the labels from scratch off the
+        # deterministic in-memory merge (self-healing, full overwrite)
+        groups_full = (
+            assign_components(merged_final, merged_link_b.select(*link_cols))
+            .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
+            .localCheckpoint()  # plan reads the pa_link/pa_groups files
+        )
+        storage.write_table(
+            groups_full, path("pa_groups"), ["bucket"], mode="overwrite",
+            compute_signature=False,
+        )
+        return _finish_supplement(spark, path, inflight_marker, new_raw)
+
     old_groups = storage.read_table(spark, path("pa_groups")).drop("bucket")
     _ends = lambda df, side: df.select(F.col(side).alias("mk_hash"))
     touched = (
@@ -415,14 +480,29 @@ def supplement_corpus(
         kept_groups = old_groups.join(dirty_comps, "component_id", "left_anti")
         scoped_groups = (
             kept_groups.unionByName(region_labels)
+            # a USING anti-join moves its key FIRST (component_id, mk_hash)
+            # — re-pin the rebuild's column order or the supplement's
+            # manifest schema silently diverges from run_pipeline's
+            .select("mk_hash", "component_id")
             .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
             .where(F.col("bucket").isin(group_buckets))
             # plan reads the very pa_groups files the write replaces
             .localCheckpoint()
         )
         _scoped_overwrite(
-            scoped_groups, path("pa_groups"), "bucket", group_buckets
+            scoped_groups, path("pa_groups"), "bucket", group_buckets,
+            compute_signature=False, recount=False,
         )
+    return _finish_supplement(spark, path, inflight_marker, new_raw)
+
+
+def _finish_supplement(spark, path, inflight_marker: str, new_raw: DataFrame):
+    """Marker removal, commit-point raw append, read-back — shared by the
+    incremental pa_groups path and the crash-recovery full-CC path."""
+    # the coupled pa_link+pa_groups writes are complete and mutually
+    # consistent — the next attempt may diff-seed again
+    if os.path.exists(inflight_marker):
+        os.remove(inflight_marker)
     # The raw append is the COMMIT POINT and therefore the LAST write: a
     # retry decides "is this batch already in?" via the raw_id anti-join,
     # so raw must only contain the batch once every derived table does. A
@@ -434,6 +514,7 @@ def supplement_corpus(
         path("raw_statements"),
         ["day"],
         mode="append",
+        compute_signature=False,  # append row_count still accumulates O(1)
     )
 
     return {

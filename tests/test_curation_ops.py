@@ -845,6 +845,24 @@ def test_media_header_parsing_golden(spark):
                  b"RIFF\x00\x00\x00\x00WAVExxxx", b"not media at all",
                  png_bytes(4, 4)[:20]):
         assert parse_media_header(junk)["format"] is None, junk
+    # adversarial-but-well-formed headers must not kill the Arrow batch
+    # (Int32 columns): PNG declaring u32 dims past 2^31-1 → unparseable;
+    # WAV with fmt sample-rate 0 → no ZeroDivisionError, duration NULL
+    import struct as _s
+
+    huge_png = (
+        b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+        + _s.pack(">II", 0xFFFFFFFF, 10) + bytes([8, 0, 0, 0, 0]) + b"\x00" * 8
+    )
+    assert parse_media_header(huge_png)["format"] is None
+    fmt0 = _s.pack("<HHIIHH", 1, 1, 0, 0, 1, 8)
+    wav0 = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt0) + 8 + 4) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt0)) + fmt0
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    h0 = parse_media_header(wav0)
+    assert (h0["format"], h0["sample_rate"], h0["duration_ms"]) == ("wav", 0, None)
 
     media = synth_media_files(spark, 40)
     got = {r["media_id"]: r for r in parse_media_headers(media).collect()}

@@ -175,3 +175,39 @@ def test_empty_and_no_match_batches(spark):
     assert _clusters(c2) == _full(corpus1.unionByName(twin), t)
     got = dict(_clusters(c2))
     assert got[301] == got[302] == 301
+
+
+def test_clusters_delta_is_exactly_the_changed_rows(spark):
+    """The store's partition-scoping certificate: clusters_delta must be
+    EXACTLY the rows that differ from old_clusters. A batch that only
+    ADDS members to existing clusters (labels keep their old min-member
+    ids) must not re-emit the unchanged old members — re-emitting them
+    makes the store back up and rewrite partitions byte-identically,
+    wasted I/O and a widened crash window per batch (review r5)."""
+    t = 0.5
+    old = _docs(spark, corpus_rows())
+    batch = _docs(spark, batch_rows())
+    old_clusters = dedup_clusters(
+        old, method="minhash_lsh", threshold=t, collapse_exact=True
+    )
+    idx = build_dedup_index(old)
+    res = supplement_dedup_clusters(idx, old_clusters, old, batch, threshold=t)
+
+    # every batch doc joins an EXISTING cluster without changing its
+    # label (101→{1,2}, 102→{3,4}, 103→{5,6}), forms a new cluster with
+    # an old singleton (104+7), or pairs within the batch (105,106);
+    # 107 stays solitary. So the delta is the new docs + the previously
+    # unclustered singleton 7 — and none of the unchanged members 1-6.
+    delta_ids = {r["doc_id"] for r in res.clusters_delta.collect()}
+    assert delta_ids == {7, 101, 102, 103, 104, 105, 106}
+
+    old_rows = _clusters(old_clusters)
+    delta_rows = _clusters(res.clusters_delta)
+    assert not (delta_rows & old_rows), "delta re-emits identical old rows"
+
+    # relabel carries only labels that actually changed
+    rel = res.relabel.collect()
+    assert all(r["_node"] != r["_new"] for r in rel)
+
+    # and the assembled table still equals the rebuild
+    assert _clusters(res.clusters) == _full(old.unionByName(batch), t)

@@ -102,7 +102,11 @@ def test_reingest_committed_batch_is_noop(spark, tmp_path):
 def test_unaffected_partitions_untouched_on_disk(spark, tmp_path):
     """A batch whose merges only reach batch-1 clusters must leave the
     base batch's cluster partition byte-identical on disk — the
-    batch-partitioned layout's O(batch region) rewrite claim."""
+    batch-partitioned layout's O(batch region) rewrite claim. Since the
+    r5 exact-delta fix, joining b1's cluster {105, 106} WITHOUT changing
+    its label (105 stays the min member) touches only the new batch's
+    own partition — b1's rows are byte-identical, so not even b1 is
+    backed up or rewritten."""
     st = _store(spark, tmp_path)
     st.ingest(_docs(spark, corpus_rows()), "base")
     st.ingest(_docs(spark, batch_rows()), "b1")
@@ -118,7 +122,7 @@ def test_unaffected_partitions_untouched_on_disk(spark, tmp_path):
     stats = st.ingest(b2, "b2")
     after = _cluster_files(st.root)
     assert "base" not in stats["affected_partitions"]
-    assert set(stats["affected_partitions"]) == {"b1", "b2"}
+    assert set(stats["affected_partitions"]) == {"b2"}
     affected_dirs = {f"_b={p}" for p in stats["affected_partitions"]}
     changed = {
         rel
@@ -148,9 +152,9 @@ def test_crash_during_cluster_rewrite_then_retry(
 
     real = storage.scoped_overwrite
 
-    def boom(df, table_path, part_col, scope_values):
+    def boom(df, table_path, part_col, scope_values, **kw):
         if crash_after_write:
-            real(df, table_path, part_col, scope_values)
+            real(df, table_path, part_col, scope_values, **kw)
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(storage, "scoped_overwrite", boom)
@@ -254,3 +258,50 @@ def test_strict_ids_reject_duplicates(spark, tmp_path):
     # strict_ids=False lets the caller take responsibility
     st.ingest(_docs(spark, [(300, "fresh")]), "b1")
     assert st.committed == ["base", "b1"]
+
+
+def test_readers_and_compact_self_heal_after_crash(spark, tmp_path, monkeypatch):
+    """A crash mid-cluster-rewrite must not leak half-rewritten
+    (ledger-visible) partitions to ANY later entry point — not just a
+    retry of the same batch_id (review r5). clusters()/index() after the
+    crash must serve exactly the pre-batch state, and compact() must
+    compact that state instead of baking the corruption in."""
+    st = _store(spark, tmp_path)
+    old = _docs(spark, corpus_rows())
+    b1 = _docs(spark, batch_rows())
+    st.ingest(old, "base")
+    expect_pre = _full(old, T)
+
+    real = storage.scoped_overwrite
+
+    def boom(df, table_path, part_col, scope_values, **kw):
+        # crash AFTER the overwrite ran: committed partitions now hold
+        # post-batch labels while the ledger still lists them
+        real(df, table_path, part_col, scope_values, **kw)
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(storage, "scoped_overwrite", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.ingest(b1, "b1")
+    monkeypatch.undo()
+
+    # a reader on the same handle — NO retry of b1 — heals to pre-batch
+    assert _clusters(st.clusters()) == expect_pre
+    idx = st.index()
+    ref = build_dedup_index(old)
+    assert idx.doc_fps.count() == ref.doc_fps.count() == old.count()
+
+    # re-inject the crash so compact() faces fresh corruption directly
+    monkeypatch.setattr(storage, "scoped_overwrite", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.ingest(b1, "b1")
+    monkeypatch.undo()
+
+    stats = st.compact("c0001")
+    assert stats["batches_compacted"] == 1
+    assert st.committed == ["c0001"]
+    assert _clusters(st.clusters()) == expect_pre
+
+    # the batch retried after compaction still converges to the rebuild
+    st.ingest(b1, "b1")
+    assert _clusters(st.clusters()) == _full(old.unionByName(b1), T)

@@ -498,3 +498,80 @@ def test_incremental_cc_merges_old_components_bucket_scoped(spark):
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+
+def test_crash_between_link_and_groups_writes_then_retry(spark, monkeypatch):
+    """The coupled pa_link+pa_groups crash window (review r5): a retry
+    after a crash between the two overwrites sees an EMPTY edge diff
+    (pa_link already merged), so the diff-seeded incremental CC would
+    miss the merge region and permanently split components the rebuild
+    joins. The in-flight marker must route that retry through the
+    self-healing full-CC recompute — labels equal the rebuild's."""
+    import datetime as dt
+    import os
+
+    import indra_db_spark.streaming.supplement as supplement_mod
+    from indra_db_spark.sources.storage import read_table
+
+    base = tempfile.mkdtemp(prefix="kg_crashcc_")
+    full = tempfile.mkdtemp(prefix="kg_crashcc_full_")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    try:
+        # two singleton components that the batch's family-level
+        # generalization merges (both BRAFGEN and RAF1GEN are RAFFAM
+        # members) — the exact shape of the review's failure scenario
+        old_rows = [
+            ("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+             "BRAFGEN activates KRASGEN.", "en"),
+            ("https://ex0.org/b", dt.datetime(2024, 3, 1), None,
+             "RAF1GEN activates KRASGEN.", "en"),
+            ("https://ex0.org/c", dt.datetime(2024, 3, 2), None,
+             "MYCGEN binds JUNGEN.", "en"),
+        ]
+        new_rows = [
+            ("https://ex1.org/g", dt.datetime(2024, 3, 9), None,
+             "RAFFAM activates KRASGEN.", "en"),
+        ]
+        old_pages = spark.createDataFrame(old_rows, schema)
+        new_pages = spark.createDataFrame(new_rows, schema)
+        run_pipeline(spark, old_pages, base, pages_fingerprint="ccc0",
+                     source_expr=synth_source_expr)
+
+        real = supplement_mod._scoped_overwrite
+
+        def boom(df, table_path, part_col, scope_values, **kw):
+            if table_path.endswith("pa_groups"):
+                # pa_link is already overwritten; die before pa_groups
+                raise RuntimeError("injected crash")
+            return real(df, table_path, part_col, scope_values, **kw)
+
+        monkeypatch.setattr(supplement_mod, "_scoped_overwrite", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            supplement_corpus(spark, base, new_pages,
+                              source_expr=synth_source_expr)
+        monkeypatch.undo()
+        # the crash left the in-flight marker; raw was NOT appended
+        assert os.path.exists(f"{base}/_supplement_inflight.json")
+
+        tables = supplement_corpus(spark, base, new_pages,
+                                   source_expr=synth_source_expr)
+        assert not os.path.exists(f"{base}/_supplement_inflight.json")
+
+        run_pipeline(spark, old_pages.unionByName(new_pages), full,
+                     pages_fingerprint="ccc_full", source_expr=synth_source_expr)
+        got = sorted(map(tuple, tables["pa_groups"]
+                         .select("mk_hash", "component_id").collect()))
+        want = sorted(map(tuple, read_table(spark, f"{full}/pa_groups")
+                          .select("mk_hash", "component_id").collect()))
+        assert got == want
+        assert _pa_snapshot(tables["pa_statements"]) == _pa_snapshot(
+            read_table(spark, f"{full}/pa_statements")
+        )
+        # the healed corpus accepts further (incremental-path) batches
+        before = sorted(map(tuple, tables["pa_groups"].collect()))
+        tables2 = supplement_corpus(spark, base, new_pages,
+                                    source_expr=synth_source_expr)
+        assert sorted(map(tuple, tables2["pa_groups"].collect())) == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
