@@ -291,8 +291,12 @@ def supplement_corpus(
         .distinct()
         .localCheckpoint()
     )
+    aff_day_list = [r["day"] for r in aff_days.collect()]
     merged_evidence = (
-        old_ev.join(F.broadcast(aff_days), "day", "left_semi")
+        # static isin on the partition column — guaranteed partition
+        # pruning at the scan (a broadcast-semi relies on runtime DPP),
+        # and only the affected days' kept rows are ever rewritten
+        old_ev.where(F.col("day").isin(aff_day_list))
         .join(affected, "mk_hash", "left_anti")
         .unionByName(new_ev)
         # USING joins move their keys first — re-pin the rebuild's order
@@ -308,7 +312,7 @@ def supplement_corpus(
         merged_evidence,
         path("evidence"),
         "day",
-        [r["day"] for r in aff_days.collect()],
+        aff_day_list,
         compute_signature=False,
         recount=False,
     )
@@ -477,7 +481,20 @@ def supplement_corpus(
         ).distinct().collect()
     ]
     if group_buckets:
-        kept_groups = old_groups.join(dirty_comps, "component_id", "left_anti")
+        # kept rows are only ever REWRITTEN inside group_buckets, so the
+        # kept-side read is partition-pruned to those buckets (static
+        # isin on the partition column). This drops one of the three
+        # corpus-order pa_groups scans the r5 incremental CC left: only
+        # the dirty-component member lookup and the touched-label lookup
+        # still scan the full two-longs-per-row table.
+        kept_in_region_buckets = (
+            storage.read_table(spark, path("pa_groups"))
+            .where(F.col("bucket").isin(group_buckets))
+            .drop("bucket")
+        )
+        kept_groups = kept_in_region_buckets.join(
+            dirty_comps, "component_id", "left_anti"
+        )
         scoped_groups = (
             kept_groups.unionByName(region_labels)
             # a USING anti-join moves its key FIRST (component_id, mk_hash)
