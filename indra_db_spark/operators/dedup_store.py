@@ -361,8 +361,17 @@ class DedupStore:
         }
 
     def _supplement(self, b: DataFrame, batch_id: str) -> dict:
+        # internal non-recovering reads: ingest() already ran _recover at
+        # entry; going through the public readers would re-list staging
+        # and re-parse the manifest three more times per commit
         res = supplement_dedup_clusters(
-            self.index(), self.clusters(), self.docs(), b,
+            DedupIndex(
+                doc_fps=self._read_batched("doc_fps"),
+                fp_buckets=self._read_batched("fp_buckets"),
+            ),
+            self._clusters_with_batch().select("doc_id", "cluster_id"),
+            self._read_batched("docs"),
+            b,
             threshold=self.params["threshold"], **self._lsh_kwargs(),
         )
         delta0 = res.clusters_delta.localCheckpoint()
@@ -467,7 +476,7 @@ class DedupStore:
         # (which deletes the very files the plans would re-read) safe
         self._write_batch_tables(
             compacted_id,
-            self.docs().localCheckpoint(),
+            self._read_batched("docs").localCheckpoint(),
             self._read_batched("doc_fps").localCheckpoint(),
             self._read_batched("fp_buckets").localCheckpoint(),
         )
@@ -475,7 +484,8 @@ class DedupStore:
         # only the NEW _b partition is written (dynamic overwrite replaces
         # partitions present in the frame)
         storage.write_table(
-            self.clusters()
+            self._clusters_with_batch()
+            .select("doc_id", "cluster_id")
             .withColumn("_b", F.lit(compacted_id))
             .localCheckpoint(),
             self._path("clusters"),

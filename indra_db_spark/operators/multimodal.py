@@ -152,12 +152,13 @@ def parse_media_header(payload: bytes | None) -> dict:
                 rate = wf.getframerate()
                 frames = wf.getnframes()
                 # a fmt chunk may declare rate 0 (corrupt/crafted) — the
-                # container still opens; never divide by it
-                dur = (
-                    int(round(frames * 1000 / rate))
-                    if 0 < rate and frames * 1000 // rate <= 0x7FFFFFFF
-                    else None
-                )
+                # container still opens; never divide by it. Bound the
+                # ROUNDED value: round() can push a duration that floors
+                # to exactly 2^31-1 over the Int32 edge (e.g. 4294967295
+                # frames at rate 2000), which would kill the Arrow batch
+                dur = int(round(frames * 1000 / rate)) if rate > 0 else None
+                if dur is not None and dur > 0x7FFFFFFF:
+                    dur = None
                 return {
                     **_NULL_HEADER,
                     "format": "wav",

@@ -284,14 +284,14 @@ def supplement_corpus(
     # interprets versions on read).
     old_ev = storage.read_table(spark, path("evidence"))
     new_ev = dedup_op.build_evidence(distilled)
-    aff_days = (
-        old_ev.join(affected, "mk_hash", "left_semi")
+    aff_day_list = [
+        r["day"]
+        for r in old_ev.join(affected, "mk_hash", "left_semi")
         .select("day")
         .unionByName(new_ev.select("day"))
         .distinct()
-        .localCheckpoint()
-    )
-    aff_day_list = [r["day"] for r in aff_days.collect()]
+        .collect()
+    ]
     merged_evidence = (
         # static isin on the partition column — guaranteed partition
         # pruning at the scan (a broadcast-semi relies on runtime DPP),
@@ -431,9 +431,29 @@ def supplement_corpus(
             .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
             .localCheckpoint()  # plan reads the pa_link/pa_groups files
         )
-        storage.write_table(
-            groups_full, path("pa_groups"), ["bucket"], mode="overwrite",
+        # scoped overwrite across (disk ∪ frame) buckets, NOT a static
+        # mode="overwrite": static overwrite deletes the whole directory
+        # — manifest included — before the job commits, so a crash DURING
+        # recovery would make the next attempt fail _require_current_layout
+        # ("rebuild the corpus") even though pa_groups is fully
+        # re-derivable. Dynamic per-partition replacement keeps the
+        # manifest and untouched partitions alive through any crash, and
+        # the marker (still present) routes every retry back here.
+        disk_buckets = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(f"{out_dir}/pa_groups")
+            if name.startswith("bucket=")
+        }
+        frame_buckets = {
+            r["bucket"] for r in groups_full.select("bucket").distinct().collect()
+        }
+        _scoped_overwrite(
+            groups_full,
+            path("pa_groups"),
+            "bucket",
+            sorted(disk_buckets | frame_buckets),
             compute_signature=False,
+            recount=False,
         )
         return _finish_supplement(spark, path, inflight_marker, new_raw)
 
@@ -500,9 +520,11 @@ def supplement_corpus(
             # a USING anti-join moves its key FIRST (component_id, mk_hash)
             # — re-pin the rebuild's column order or the supplement's
             # manifest schema silently diverges from run_pipeline's
+            # (every row is already inside group_buckets: the kept read
+            # is partition-pruned to them and region_labels ⊆ region,
+            # whose pmod defined group_buckets)
             .select("mk_hash", "component_id")
             .withColumn("bucket", F.pmod("mk_hash", F.lit(PA_BUCKETS)))
-            .where(F.col("bucket").isin(group_buckets))
             # plan reads the very pa_groups files the write replaces
             .localCheckpoint()
         )

@@ -863,6 +863,17 @@ def test_media_header_parsing_golden(spark):
     )
     h0 = parse_media_header(wav0)
     assert (h0["format"], h0["sample_rate"], h0["duration_ms"]) == ("wav", 0, None)
+    # duration that FLOORS to exactly 2^31-1 but ROUNDS to 2^31 (declared
+    # data size 0xFFFFFFFF, rate 2000 → 2147483647.5 ms): must come back
+    # NULL, not overflow the Int32 column
+    fmt2k = _s.pack("<HHIIHH", 1, 1, 2000, 2000, 1, 8)
+    wav_edge = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt2k) + 8) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt2k)) + fmt2k
+        + b"data" + _s.pack("<I", 0xFFFFFFFF)
+    )
+    he = parse_media_header(wav_edge)
+    assert (he["format"], he["duration_ms"]) == ("wav", None)
 
     media = synth_media_files(spark, 40)
     got = {r["media_id"]: r for r in parse_media_headers(media).collect()}
