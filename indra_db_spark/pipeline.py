@@ -177,8 +177,13 @@ def run_pipeline(
         # (mid-commit) — re-writing the not-done days must replace
         # whatever is there, never stack on top of it.
         mode = "overwrite_partitions" if partial_ok else "overwrite"
+        # url-sorted within files: parquet row-group min/max stats on url
+        # become selective, so the supplement's filter-pushed evidence
+        # gather (streaming/supplement.py step 4) skips the row groups of
+        # untouched urls instead of decoding the whole fat log
         storage.write_table(
-            raw, path("raw_statements"), ["day"], mode=mode, compute_signature=False
+            raw, path("raw_statements"), ["day"], mode=mode,
+            compute_signature=False, sort_by=["url"],
         )
         back = storage.read_table(spark, path("raw_statements"))
         pc = {

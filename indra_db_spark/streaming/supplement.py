@@ -107,9 +107,15 @@ def supplement_corpus(
     priors: DataFrame | None = None,
     extractor_version: str = extract_op.EXTRACTOR_VERSION,
     source_expr=None,
+    gather_isin_max: int = 20_000,
 ) -> dict[str, DataFrame]:
     """Merge new pages into the corpus at ``out_dir`` (built by
-    pipeline.run_pipeline). Returns the updated tables."""
+    pipeline.run_pipeline). Returns the updated tables.
+
+    ``gather_isin_max``: largest dirty-url set the evidence gather will
+    collect to the driver to run as a pruned, filter-pushed read of the
+    raw log; above it the gather falls back to the semi-join full scan
+    (see the step-4 comment). 0 forces the fallback."""
     grounding_map = (
         grounding_map if grounding_map is not None else dims_mod.grounding_map_df(spark)
     )
@@ -180,16 +186,56 @@ def supplement_corpus(
     # an earlier version bump already superseded. The pa/evidence rebuild
     # is then restricted back to the affected hash set so the merge stays
     # disjoint with the kept (anti-joined) old rows.
-    aff_urls = (
+    #
+    # The gather is the batch's one FAT read of the raw log (every column,
+    # evidence text included — everything else reads slim projections), so
+    # it is bounded when the dirty url set is collectable: a column-pruned
+    # slim scan finds the affected urls, a second slim filter-pushed scan
+    # finds every day those urls appear on, and only then the fat read
+    # runs PARTITION-PRUNED to those days and FILTER-PUSHED on url (a
+    # literal isin reaches the parquet scan and skips row groups via
+    # min/max stats — raw files are url-sorted within partitions for
+    # exactly this; a semi-join can do neither). Above the cap (a hash
+    # carried by very many urls) it falls back to the join-based full
+    # scan, which is the correctness baseline.
+    aff_url_rows = (
         old_raw.join(affected, "mk_hash", "left_semi")
         .select("url")
-        .unionByName(new_urls)
         .distinct()
+        .limit(gather_isin_max + 1)
+        .collect()
     )
-    gathered = (
-        old_raw.join(aff_urls, "url", "left_semi")
-        .unionByName(new_raw)
-    )
+    if len(aff_url_rows) <= gather_isin_max:
+        new_url_list = [r["url"] for r in new_urls.collect()]
+        gather_urls = sorted(
+            {r["url"] for r in aff_url_rows} | set(new_url_list)
+        )
+        # ALL days where a gathered url appears (not just days of its
+        # affected rows — distill must see every row of the url), via a
+        # second slim filter-pushed scan of (url, day)
+        gather_days = sorted(
+            r["day"]
+            for r in storage.read_table(spark, path("raw_statements"))
+            .where(F.col("url").isin(gather_urls))
+            .select("day")
+            .distinct()
+            .collect()
+        )
+        old_gather = (
+            storage.read_table(spark, path("raw_statements"))
+            .where(F.col("day").isin(gather_days))
+            .where(F.col("url").isin(gather_urls))
+            .drop("day")
+        )
+    else:
+        aff_urls = (
+            old_raw.join(affected, "mk_hash", "left_semi")
+            .select("url")
+            .unionByName(new_urls)
+            .distinct()
+        )
+        old_gather = old_raw.join(aff_urls, "url", "left_semi")
+    gathered = old_gather.unionByName(new_raw)
     distilled = (
         distill_op.distill(gathered)
         .join(affected, "mk_hash", "left_semi")
@@ -554,6 +600,7 @@ def _finish_supplement(spark, path, inflight_marker: str, new_raw: DataFrame):
         ["day"],
         mode="append",
         compute_signature=False,  # append row_count still accumulates O(1)
+        sort_by=["url"],  # keep appended files row-group-skippable too
     )
 
     return {

@@ -575,3 +575,59 @@ def test_crash_between_link_and_groups_writes_then_retry(spark, monkeypatch):
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+
+def test_gather_isin_fallback_equals_pruned_path(spark):
+    """The evidence gather's two modes — pruned filter-pushed read
+    (dirty urls collectable) vs semi-join full scan (over the cap) —
+    must produce identical corpora; gather_isin_max=0 forces the
+    fallback on an otherwise identical supplement."""
+    import datetime as dt
+
+    from indra_db_spark.sources.storage import read_table
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    old_rows = [
+        ("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
+         "BRAFGEN activates KRASGEN.", "en"),
+        # same url re-crawled on ANOTHER day with a different statement:
+        # the pruned path must gather BOTH days of the url, not just the
+        # days its affected rows live on
+        ("https://ex0.org/a", dt.datetime(2024, 3, 5), None,
+         "BRAFGEN activates KRASGEN. MYCGEN binds JUNGEN.", "en"),
+        ("https://ex0.org/b", dt.datetime(2024, 3, 2), None,
+         "AKT1GEN binds MTORGEN.", "en"),
+    ]
+    new_rows = [
+        # re-read of url a (supersedes) + a genuinely new page
+        ("https://ex0.org/a", dt.datetime(2024, 3, 9), None,
+         "RAF1GEN activates KRASGEN.", "en"),
+        ("https://ex1.org/c", dt.datetime(2024, 3, 9), None,
+         "EGFRGEN activates KRASGEN.", "en"),
+    ]
+    outs = {}
+    bases = []
+    try:
+        for mode, cap in (("pruned", 20_000), ("fallback", 0)):
+            base = tempfile.mkdtemp(prefix=f"kg_gather_{mode}_")
+            bases.append(base)
+            run_pipeline(spark, spark.createDataFrame(old_rows, schema), base,
+                         pages_fingerprint="g0", source_expr=synth_source_expr)
+            tables = supplement_corpus(
+                spark, base, spark.createDataFrame(new_rows, schema),
+                source_expr=synth_source_expr, gather_isin_max=cap,
+            )
+            outs[mode] = {
+                "pa": _pa_snapshot(tables["pa_statements"]),
+                "ev": sorted(map(tuple, tables["evidence"]
+                                 .select("mk_hash", "raw_id", "url").collect())),
+                "groups": sorted(map(tuple, tables["pa_groups"]
+                                     .select("mk_hash", "component_id").collect())),
+            }
+        assert outs["pruned"] == outs["fallback"]
+        # the superseded day-5 re-read of url a must have been re-distilled
+        # in both modes (its old extractor-version rows replaced)
+        assert outs["pruned"]["ev"], "evidence empty — fixture degenerate"
+    finally:
+        for b in bases:
+            shutil.rmtree(b, ignore_errors=True)
