@@ -168,13 +168,26 @@ def supplement_corpus(
     # 3. affected hashes: new batch hashes ∪ all hashes on re-read PAGES.
     # Urls come from new_pages, not new_raw: a re-read page that yields
     # ZERO statements at the bumped version must still supersede its old
-    # readings (the full rebuild has none of them).
+    # readings (the full rebuild has none of them). When the batch's url
+    # set is collectable (same cap as the gather below) the re-read
+    # lookup is a literal isin PUSHED to the scan — row-group-skippable
+    # over the url-sorted raw files — instead of a semi-join that decodes
+    # the url column of the whole log.
     new_urls = new_pages.select("url").distinct()
+    new_url_rows = new_urls.limit(gather_isin_max + 1).collect()
+    new_url_list = (
+        sorted(r["url"] for r in new_url_rows)
+        if len(new_url_rows) <= gather_isin_max
+        else None
+    )
+    reread = (
+        old_raw.where(F.col("url").isin(new_url_list))
+        if new_url_list is not None
+        else old_raw.join(new_urls, "url", "left_semi")
+    )
     affected = (
         new_raw.select("mk_hash")
-        .unionByName(
-            old_raw.join(new_urls, "url", "left_semi").select("mk_hash")
-        )
+        .unionByName(reread.select("mk_hash"))
         .distinct()
         .localCheckpoint()
     )
@@ -205,8 +218,7 @@ def supplement_corpus(
         .limit(gather_isin_max + 1)
         .collect()
     )
-    if len(aff_url_rows) <= gather_isin_max:
-        new_url_list = [r["url"] for r in new_urls.collect()]
+    if len(aff_url_rows) <= gather_isin_max and new_url_list is not None:
         gather_urls = sorted(
             {r["url"] for r in aff_url_rows} | set(new_url_list)
         )
