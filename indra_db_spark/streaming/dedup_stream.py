@@ -163,3 +163,59 @@ def batch_first_seen(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_store_stream(
+    spark,
+    docs_stream_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strict_ids: bool = True,
+    **store_params,
+):
+    """documents parquet-file stream → foreachBatch(DedupStore.ingest):
+    continuous NEAR-dup clustering with durable state — the streaming
+    front end to :class:`~indra_db_spark.operators.dedup_store.DedupStore`
+    (first-seen above is the EXACT-dup analog with in-state-store state).
+
+    Exactly-once per micro-batch without any extra bookkeeping: Spark's
+    ``foreachBatch`` batch_id is a monotonically increasing long that is
+    REPLAYED with the same value after a crash/restart from the same
+    checkpoint, and the store's ledger makes ``ingest`` with a committed
+    batch_id a no-op — so replays converge instead of double-ingesting
+    (the same idempotency argument as ``incremental_assembly_stream``'s
+    deterministic raw_ids, shifted onto the store's commit protocol).
+
+    Same trigger semantics as ``incremental_assembly_stream``: the
+    default ``{"availableNow": True}`` drains the backlog and stops;
+    a resident service passes a processingTime trigger. Returns the
+    StreamingQuery.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from indra_db_spark.operators.dedup_store import DedupStore
+
+    store = DedupStore(spark, store_root, **store_params)
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(text_col, StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(docs_stream_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest(
+            batch_df, f"b{batch_id:012d}",
+            id_col=id_col, text_col=text_col, strict_ids=strict_ids,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

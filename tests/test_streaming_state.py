@@ -125,3 +125,53 @@ def test_streaming_ttl_evicts_state(spark, tmp_path):
     run(_ts_rows(spark, [("u6", 10, "2026-02-03"), ("u7", 30, "2026-02-03")]))
     got = sorted(r["fp_hash"] for r in spark.read.parquet(out).collect())
     assert got == [10, 10, 30, 40, 50]
+
+
+def test_dedup_store_stream_drains_batches_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Streaming front end to the durable dedup store: two availableNow
+    drains over a growing landing dir must leave the store equal to a
+    full rebuild of everything landed, and a replayed micro-batch id
+    (the crash/restart case foreachBatch actually produces) must no-op
+    through the store's ledger instead of double-ingesting."""
+    from indra_db_spark.operators.dedup_docs import dedup_clusters
+    from indra_db_spark.operators.dedup_store import DedupStore
+    from indra_db_spark.streaming.dedup_stream import dedup_store_stream
+    from test_dedup_incremental import _clusters, _docs, batch_rows, corpus_rows
+
+    land = tmp_path / "land"
+    land.mkdir()
+    store_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    t = 0.5
+
+    old = _docs(spark, corpus_rows())
+    old.coalesce(1).write.parquet(str(land / "w0"))
+    q = dedup_store_stream(spark, f"{land}/*", store_root, ckpt, threshold=t)
+    q.awaitTermination()
+
+    st = DedupStore(spark, store_root)
+    assert len(st.committed) >= 1
+    assert _clusters(st.clusters()) == _clusters(
+        dedup_clusters(old, method="minhash_lsh", threshold=t,
+                       collapse_exact=True)
+    )
+
+    new = _docs(spark, batch_rows())
+    new.coalesce(1).write.parquet(str(land / "w1"))
+    q = dedup_store_stream(spark, f"{land}/*", store_root, ckpt, threshold=t)
+    q.awaitTermination()
+
+    st = DedupStore(spark, store_root)
+    full = old.unionByName(new)
+    expect = _clusters(
+        dedup_clusters(full, method="minhash_lsh", threshold=t,
+                       collapse_exact=True)
+    )
+    assert _clusters(st.clusters()) == expect
+
+    # replay: re-ingesting any committed micro-batch id is a ledger no-op
+    first = st.committed[0]
+    assert st.ingest(old, first)["noop"]
+    assert _clusters(st.clusters()) == expect
