@@ -189,16 +189,40 @@ def dedup_store_stream(
     (the same idempotency argument as ``incremental_assembly_stream``'s
     deterministic raw_ids, shifted onto the store's commit protocol).
 
+    Spark's batch ids are CHECKPOINT-scoped while the ledger is
+    STORE-scoped, so the ingest id also carries a per-checkpoint token
+    (a UUID persisted write-once inside ``checkpoint_dir``): an operator
+    who deletes/recreates the checkpoint (or points a fresh one at an
+    existing store) restarts batch numbering at 0, and bare ``b000…``
+    would hit the old ledger entry and silently DROP every document in
+    the new batch while the checkpoint marks its files processed. With
+    the token, a new checkpoint mints ids the ledger has never seen;
+    a same-checkpoint crash replay keeps the same token and still
+    no-ops.
+
     Same trigger semantics as ``incremental_assembly_stream``: the
     default ``{"availableNow": True}`` drains the backlog and stops;
     a resident service passes a processingTime trigger. Returns the
     StreamingQuery.
     """
+    import json
+    import os
+    import uuid
+
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from indra_db_spark.operators.dedup_store import DedupStore
+    from indra_db_spark.sources import storage as _storage
 
     store = DedupStore(spark, store_root, **store_params)
+    token_path = os.path.join(checkpoint_dir, "_dedup_stream_id.json")
+    if os.path.exists(token_path):
+        with open(token_path) as f:
+            token = json.load(f)["token"]
+    else:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:12]
+        _storage._write_json_atomic(token_path, {"token": token})
     schema = StructType([
         StructField(id_col, LongType()),
         StructField(text_col, StringType()),
@@ -209,7 +233,7 @@ def dedup_store_stream(
         if batch_df.isEmpty():
             return
         store.ingest(
-            batch_df, f"b{batch_id:012d}",
+            batch_df, f"{token}-b{batch_id:012d}",
             id_col=id_col, text_col=text_col, strict_ids=strict_ids,
         )
 

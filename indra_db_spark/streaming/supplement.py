@@ -112,10 +112,12 @@ def supplement_corpus(
     """Merge new pages into the corpus at ``out_dir`` (built by
     pipeline.run_pipeline). Returns the updated tables.
 
-    ``gather_isin_max``: largest dirty-url set the evidence gather will
-    collect to the driver to run as a pruned, filter-pushed read of the
-    raw log; above it the gather falls back to the semi-join full scan
-    (see the step-4 comment). 0 forces the fallback."""
+    ``gather_isin_max``: per-source cap on the url sets the evidence
+    gather collects to the driver to run as a pruned, filter-pushed read
+    of the raw log — batch urls and affected-hash urls are each capped,
+    so the pushed ``In(url, …)`` literal holds at most 2× this many
+    values; above either cap the gather falls back to the semi-join full
+    scan (see the step-4 comment). 0 forces the fallback."""
     grounding_map = (
         grounding_map if grounding_map is not None else dims_mod.grounding_map_df(spark)
     )
@@ -175,8 +177,11 @@ def supplement_corpus(
     # the url column of the whole log.
     new_urls = new_pages.select("url").distinct()
     new_url_rows = new_urls.limit(gather_isin_max + 1).collect()
+    # NULL urls are dropped from the literal lists: a semi-join never
+    # matches a NULL key, so isin (same semantics) stays equivalent —
+    # and sorted() would raise on None
     new_url_list = (
-        sorted(r["url"] for r in new_url_rows)
+        sorted(r["url"] for r in new_url_rows if r["url"] is not None)
         if len(new_url_rows) <= gather_isin_max
         else None
     )
@@ -211,16 +216,22 @@ def supplement_corpus(
     # exactly this; a semi-join can do neither). Above the cap (a hash
     # carried by very many urls) it falls back to the join-based full
     # scan, which is the correctness baseline.
+    # the affected-url collect only runs when the pruned path is still
+    # reachable — with new_url_list already over its cap this would be a
+    # full-log slim scan whose result is thrown away
     aff_url_rows = (
         old_raw.join(affected, "mk_hash", "left_semi")
         .select("url")
         .distinct()
         .limit(gather_isin_max + 1)
         .collect()
+        if new_url_list is not None
+        else None
     )
-    if len(aff_url_rows) <= gather_isin_max and new_url_list is not None:
+    if aff_url_rows is not None and len(aff_url_rows) <= gather_isin_max:
         gather_urls = sorted(
-            {r["url"] for r in aff_url_rows} | set(new_url_list)
+            {r["url"] for r in aff_url_rows if r["url"] is not None}
+            | set(new_url_list)
         )
         # ALL days where a gathered url appears (not just days of its
         # affected rows — distill must see every row of the url), via a

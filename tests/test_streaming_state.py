@@ -2,6 +2,7 @@
 micro-batches (applyInPandasWithState), equivalent to the batch window
 twin, with state persisting across separate availableNow runs."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from indra_db_spark.streaming.dedup_stream import (
@@ -175,3 +176,31 @@ def test_dedup_store_stream_drains_batches_and_replays_idempotently(
     first = st.committed[0]
     assert st.ingest(old, first)["noop"]
     assert _clusters(st.clusters()) == expect
+
+    # checkpoint reset (the ops hazard): a FRESH checkpoint restarts
+    # Spark's batch numbering at 0 — without the per-checkpoint token in
+    # the ingest id, the first batch through a new checkpoint would
+    # collide with the first ledger entry, no-op, and be silently
+    # dropped while the checkpoint marks its files processed. With the
+    # token, a new checkpoint over NEW files ingests them...
+    extra = _docs(spark, [(501, "wholly new third wave document about checkpoints")])
+    land2 = tmp_path / "land2"
+    land2.mkdir()
+    extra.coalesce(1).write.parquet(str(land2 / "w2"))
+    q = dedup_store_stream(
+        spark, f"{land2}/*", store_root, str(tmp_path / "ckpt2"), threshold=t
+    )
+    q.awaitTermination()
+    st = DedupStore(spark, store_root)
+    assert st.docs().count() == full.count() + 1  # wave 3 ingested, once
+
+    # ...and a new checkpoint over the ORIGINAL dir re-delivers already-
+    # ingested files as new batch ids: the content-level strict_ids
+    # guard fails LOUDLY (corpus-unique doc_id) instead of silently
+    # dropping or double-ingesting
+    q = dedup_store_stream(
+        spark, f"{land}/*", store_root, str(tmp_path / "ckpt3"), threshold=t
+    )
+    with pytest.raises(Exception, match="already ingested"):
+        q.awaitTermination()
+    assert st.docs().count() == full.count() + 1  # nothing double-ingested

@@ -584,8 +584,6 @@ def test_gather_isin_fallback_equals_pruned_path(spark):
     fallback on an otherwise identical supplement."""
     import datetime as dt
 
-    from indra_db_spark.sources.storage import read_table
-
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"
     old_rows = [
         ("https://ex0.org/a", dt.datetime(2024, 3, 1), None,
@@ -605,6 +603,10 @@ def test_gather_isin_fallback_equals_pruned_path(spark):
         ("https://ex1.org/c", dt.datetime(2024, 3, 9), None,
          "EGFRGEN activates KRASGEN.", "en"),
     ]
+    # NOTE: null-url pages are rejected much earlier (src_counts maps are
+    # keyed by the url-derived source: NULL_MAP_KEY — rebuild and
+    # supplement fail identically), so the gather's defensive null
+    # filtering is unreachable on valid input and not fixture-testable.
     outs = {}
     bases = []
     try:
