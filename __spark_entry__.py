@@ -251,7 +251,11 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G-family: regexp extraction, JSON access, date trunc, hashing-free."""
-    ev = _load(spark, sf_dir, "events")
+    from indra_db_spark.functions.parallel import fan_out
+
+    # get_json_object per row is the cost; the events table arrives as a
+    # single parquet row group, so floor the scan parallelism first.
+    ev = fan_out(_load(spark, sf_dir, "events"))
     return (
         ev.select(
             "event_id",
@@ -281,8 +285,9 @@ def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-content fingerprint (drivers' documents carry few exact
     dups, so the kept-set form keeps the check non-vacuous)."""
     from indra_db_spark.functions.hashing import fold_md5_64
+    from indra_db_spark.functions.parallel import fan_out
 
-    d = _load(spark, sf_dir, "documents")
+    d = fan_out(_load(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         d.select("doc_id", fold_md5_64(norm).alias("fp_hash"))
@@ -436,8 +441,9 @@ def _q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count,
         ws_token_count,
     )
+    from indra_db_spark.functions.parallel import fan_out
 
-    d = _load(spark, sf_dir, "documents")
+    d = fan_out(_load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("n_ws_tokens"),

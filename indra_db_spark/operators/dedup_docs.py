@@ -14,7 +14,9 @@ At 100 TB these are the workhorses of training-data curation. Shapes:
                signature; near-dups = equal signatures (or banded prefixes).
 
 Everything is deterministic (md5-derived hash families, no RNG state) and
-pure DataFrame ops — no UDFs.
+pure DataFrame ops — no row-at-a-time UDFs; the one Python surface is the
+vectorized Arrow run-length pair counter inside :func:`jaccard_pairs`
+(see its docstring for why a hash aggregate loses there).
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import fold_md5_64
+from indra_db_spark.functions.parallel import fan_out
 from indra_db_spark.functions.textnorm import collapse_ws_expr
 
 
@@ -35,7 +38,8 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     duplicated fingerprint with the member ids and the kept (min) id."""
     fp = fold_md5_64(_norm_text(text_col)).alias("fp_hash")
     return (
-        df.select(F.col(id_col).alias("doc_id"), fp)
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc_id"), fp)
         .groupBy("fp_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -43,6 +47,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_array(text_col: str, k: int):
+    """Distinct word-k-gram array expression over ``_words``."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_words")) - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, k)),
+        )
     )
 
 
@@ -62,19 +76,22 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # Docs shorter than k words would emit one partial slice — gate on the
     # pre-explode word count instead of re-splitting every exploded shingle
     # (the post-explode re-split cost O(shingles) string splits per scan).
+    # fan_out BEFORE splitting: the normalize+split+transform+explode chain
+    # is the scan-stage cost of the whole shingle family, and a single-row-
+    # group corpus would otherwise run it on one core (guide §2.2); the
+    # exchange ships only (id, text) and is a no-op on already-parallel
+    # inputs.
+    # The shingle array MUST stay inline in the generator: staging it as
+    # an aliased column makes InferFiltersFromGenerate clone the whole
+    # transform into a scan-side filter BELOW the fan_out exchange (one
+    # task evaluates the corpus twice — measured 36 s vs 1.7 s at sf1.0).
     return (
-        df.select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc_id"), words.alias("_words"))
         .where(F.size(F.col("_words")) >= k)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(F.col("_words")) - k),
-                        lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, k)),
-                    )
-                )
-            ).alias("shingle"),
+            F.explode(_shingle_array(text_col, k)).alias("shingle"),
         )
     )
 
@@ -88,38 +105,130 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
-    shingle self-join (a.doc_id < b.doc_id) → |A∩B| per pair; |A|,|B| from a
-    per-doc size agg (broadcastable at dim scale; shuffled join at corpus
-    scale — AQE decides).
+    shingle self-join (a.doc_id < b.doc_id) → |A∩B| per pair; |A| and |B|
+    ride ALONG the pair stream. They used to come from a per-doc size
+    aggregation over the exploded shingle table, joined onto the pair
+    table — but that aggregation is a second (and with two renames,
+    third) consumer of the shingle DAG, and Catalyst does not reuse the
+    exchange once the consumers diverge (broadcast on one side,
+    aggregate on the other): the r6 plan audit found FOUR full
+    scan→normalize→explode pipelines in this one query. Instead ``n_sh``
+    comes from a separate SCAN-SPEED pass (size of the distinct-shingle
+    array per row — no explode, no aggregation) joined once onto the
+    2.6M-row shingle table, and the two ints ride the pair stream from
+    there: a slightly wider shuffle buys two deleted 100M-row joins and
+    three deleted corpus recomputations (guide §2.4).
 
     The self-join keys on xxhash64(shingle), not the string — the shuffle
     ships 8-byte longs instead of ~20-byte+ strings. Distinct shingles
     within a doc stay distinct under the hash except with probability
     ~n²/2⁻⁶⁴ (immaterial; the LSH variant is the at-scale path anyway).
+    The join is pinned to a SHUFFLED HASH join: Catalyst's size estimate
+    would otherwise broadcast a whole corpus side (observed at sf1.0: a
+    2.6M-row BroadcastExchange), which both risks the driver at scale
+    and breaks the shared-exchange reuse between the two sides — and a
+    ``merge`` pin is far worse here: sort-merge with ~100-duplicate key
+    groups re-buffers the inner group per outer row (measured 107 s vs
+    ~9 s end-to-end for the hash probe on identical inputs). The build
+    side is one shuffle partition of (id, n_sh, hash) rows — memory-
+    bounded by ``spark.sql.shuffle.partitions``, same bound as the RLE
+    stage below.
+
+    The |A∩B| count is NOT a ``groupBy(doc_a, doc_b).count()``: on a
+    corpus with a dense shared vocabulary the pair stream has almost no
+    duplicate pairs (measured at sf1.0: 127M join rows → 114M distinct
+    pairs), so Spark's hash aggregate pays a full partial+final
+    aggregation of >100M groups for ~10% reduction (34 s of a 38 s
+    query). Instead the pair stream is hash-repartitioned on the pair
+    and run-length counted per partition with one vectorized numpy
+    lexsort inside ``mapInArrow`` (guide §4.2: hand whole batches to
+    native code) — measured 4.5× faster. Exact: the repartition puts
+    every occurrence of a pair in one partition, and the sort-based
+    count is the same integer ``count(*)``. Per-task memory is one int64
+    pair array per partition (bounded by
+    ``spark.sql.shuffle.partitions``; this exact-Jaccard operator is the
+    oracle path — ``minhash_lsh_candidates`` is the 100 TB path).
     """
-    # Materialize ONE exchange on sh_h that all three consumers (both
-    # self-join sides and the per-doc size agg) read back via
-    # ReusedExchange — without it the scan + normalize + shingle-explode
-    # recomputes once per consumer (the r2 bench regression). The join on
-    # sh_h then needs no further shuffle on either side.
+    import numpy as np
+    import pyarrow as pa_
+
+    words = F.split(_norm_text(text_col), " ")
+    sizes = (
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+        .where(F.size(F.col("_words")) >= k)
+        .select(
+            # LONG, not int: int32 columns through the Arrow feed hit a
+            # ~4x slower JVM->Python serialization path (measured 35 s vs
+            # 8 s for the identical stream with longs), and long matches
+            # the count() the sizes used to come from.
+            "doc_id", F.size(_shingle_array(text_col, k)).cast("long").alias("n_sh")
+        )
+    )
     sh = (
         word_shingles(df, id_col, text_col, k)
         .select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+        .join(sizes, "doc_id")
         .repartition("sh_h")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
-    inter = (
-        a.join(b, "sh_h")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh_h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh_h")
+    pair_rows = (
+        a.join(b.hint("shuffle_hash"), "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .repartition("doc_a", "doc_b")
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
+
+    def _rle_count(batches):
+        # run-length count per partition: every occurrence of a pair is in
+        # this partition (hash repartition above), so the local count IS
+        # the global |A∩B|. lexsort works for arbitrary int64 ids; n_a/n_b
+        # are constant per doc, so the run's first row carries them.
+        # The threshold PRE-filter (with a 1e-6 slack strictly wider than
+        # the 5e-7 the 6-decimal round can lift a quotient) keeps the
+        # Python→JVM conversion to the near-duplicate survivors instead
+        # of every sharing pair (measured at sf1.0: 114M rows → ~10⁴);
+        # Spark re-applies the EXACT rounded filter below, so the slack
+        # never changes the result.
+        chunks: list = []
+        for batch in batches:
+            chunks.append(
+                [batch.column(i).to_numpy(zero_copy_only=False) for i in range(4)]
+            )
+        if not chunks:
+            return
+        aa, bb, na, nb = (
+            np.concatenate([c[i] for c in chunks]) for i in range(4)
+        )
+        order = np.lexsort((bb, aa))
+        aa = aa[order]
+        bb = bb[order]
+        change = np.empty(aa.shape[0], dtype=bool)
+        change[0] = True
+        np.logical_or(aa[1:] != aa[:-1], bb[1:] != bb[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, aa.shape[0]))
+        na = na[order][starts]
+        nb = nb[order][starts]
+        jac = counts / (na + nb - counts)
+        keep = jac >= threshold - 1e-6
+        yield pa_.RecordBatch.from_arrays(
+            [
+                pa_.array(aa[starts][keep]),
+                pa_.array(bb[starts][keep]),
+                pa_.array(counts[keep]),
+                pa_.array(na[keep]),
+                pa_.array(nb[keep]),
+            ],
+            ["doc_a", "doc_b", "n_common", "n_a", "n_b"],
+        )
+
+    inter = pair_rows.mapInArrow(
+        _rle_count, "doc_a long, doc_b long, n_common long, n_a long, n_b long"
+    )
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
@@ -127,8 +236,12 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        # tiny post-filter exchange: a caller's orderBy range-partitioner
+        # SAMPLES its child by executing it — without this barrier the
+        # sampling pass re-runs the whole RLE stage a second time (the
+        # materialized exchange below makes the re-read O(survivors)).
+        .repartition("doc_a")
     )
-    return out
 
 
 def minhash_signatures(
@@ -332,7 +445,7 @@ def simhash(
     import functools
     import operator
 
-    tokens = df.select(
+    tokens = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(_norm_text(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
@@ -413,7 +526,7 @@ def dedup_clusters(
     k = lsh_params.pop("k", 3)
     fp_groups = None
     if method == "minhash_lsh" and collapse_exact:
-        fps = df.select(
+        fps = fan_out(df.select(id_col, text_col)).select(
             F.col(id_col).alias("_m_id"),
             F.col(text_col).alias("_m_text"),
             fold_md5_64(_norm_text(text_col)).alias("_fp"),

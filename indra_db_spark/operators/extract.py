@@ -141,6 +141,13 @@ def extract_statements(
             F.col("html")
         ),
     )
+    # Floor the parallelism of the Python extraction stage: a pages corpus
+    # read back from a handful of parquet files (file-packing charges tiny
+    # files at openCostInBytes, so 32 small files can collapse into ~2
+    # scan splits) would otherwise run the regex scan nearly serially.
+    from indra_db_spark.functions.parallel import fan_out
+
+    pages = fan_out(pages)
 
     def read_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _pattern(lex)

@@ -16,6 +16,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from indra_db_spark.functions.parallel import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -48,10 +50,11 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query.
 
     (query_id, neighbor_id, cos_sim, rank); self-matches excluded. The
-    query side is broadcast — corpus is never shuffled."""
-    c = corpus.select(
+    query side is broadcast — corpus is never shuffled at scale (fan_out
+    only floors the parallelism of single-row-group demo inputs)."""
+    c = fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+    ))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     sims = (
         c.join(F.broadcast(q))
@@ -120,6 +123,7 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest coarse centroids
     (IVF inverted lists). Centroid count is small → the argmin is a pure
     column expression over an array literal, no join."""
+    vectors = fan_out(vectors)  # per-centroid dot products — spread the scan
     v = F.col(vec_col).cast("array<double>")
     sims = F.array(
         *[
@@ -245,7 +249,7 @@ def lsh_topk(
     Recall improves with fewer planes / multiple tables; this single-table
     variant is the shape demo — the bucket join replaces the cross join."""
     planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
@@ -302,6 +306,10 @@ def cosine_near_dup_pairs(
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.divide(mat, norms, out=mat, where=norms > 0)
     bc = sc.broadcast((ids_b, mat))
+    # The GEMM is embarrassingly parallel over batch rows; a single-row-
+    # group input would otherwise run the whole (n × n) product in one
+    # Arrow task (measured 26 s at n=20k on one core of 32).
+    side = fan_out(side)
 
     def gemm(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         ids_corpus, m_corpus = bc.value
@@ -347,7 +355,7 @@ def lsh_near_dup_pairs(
     key is (table, bucket) so tables never cross-match. Candidate pairs
     are deduped BEFORE the cosine residual — each pair's vectors are
     scored once however many tables it collides in."""
-    tagged = corpus.select(
+    tagged = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.explode(

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from indra_db_spark.functions.hashing import fold_md5_64
+from indra_db_spark.functions.parallel import fan_out
 from indra_db_spark.functions.textnorm import collapse_ws_expr
 
 # Tiny deterministic stopword lexicons per language (language-ID heuristic).
@@ -50,6 +51,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Mirrors Gopher/C4-style filters: length, punctuation ratio, English
     stopword ratio, uppercase ratio, mean word length.
     """
+    df = fan_out(df)  # regexp_counts are the cost — spread the scan (guide §2.2)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_ws = ws_token_count(t)
@@ -88,7 +90,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     langs = sorted(LANG_STOPWORDS)
     t = F.col(text_col)
     hit_cols = {}
-    staged = df
+    staged = fan_out(df)  # one regexp_count per language — spread the scan
     for lang in langs:
         pat = r"(?i)\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
         hit_cols[lang] = f"_hits_{lang}"
@@ -107,6 +109,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text:
     lowercase, collapse whitespace → md5 → signed-64 fold."""
+    df = fan_out(df)  # two md5 passes per row — spread the scan
     norm = collapse_ws_expr(F.col(text_col))
     return df.withColumn("fp_hash", fold_md5_64(norm)).withColumn(
         "fp_hex", F.substring(F.md5(norm), 1, 16)
@@ -165,9 +168,12 @@ def winnow_fingerprints(
         via = "arrays"
     if via not in ("arrays", "explode"):
         raise ValueError(f"unknown via {via!r}")
-    # stage 1: normalize once per row
-    s1 = df.select(
-        F.col(id_col).alias("doc_id"),
+    # stage 1: normalize once per row. fan_out BEFORE normalizing so the
+    # (heavy, per-row O(n·w)) HOF stages below run at full parallelism
+    # even when the corpus arrives as one parquet row group; the exchange
+    # ships only (id, text) — project-before-shuffle (guide §2.3).
+    s1 = fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         collapse_ws_expr(F.col(text_col)).alias("_norm"),
     )
     norm = F.col("_norm")
@@ -248,11 +254,12 @@ def repetition_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     repetitive documents (boilerplate, keyword stuffing, scraper loops)
     score near 1 and are dropped by quality gates upstream of dedup.
 
-    Pure per-row higher-order expressions — no shuffle, scan speed.
-    Staged selects so lambdas bind ATTRIBUTES (the interpreted-HOF
-    re-eval trap documented on winnow_fingerprints).
+    Pure per-row higher-order expressions — no shuffle of its own, scan
+    speed (fan_out only raises the parallelism floor for single-row-group
+    inputs). Staged selects so lambdas bind ATTRIBUTES (the
+    interpreted-HOF re-eval trap documented on winnow_fingerprints).
     """
-    s1 = df.select(
+    s1 = fan_out(df).select(
         "*",
         F.split(F.col(text_col), "\n").alias("_lines"),
         F.split(collapse_ws_expr(F.col(text_col)), " ").alias("_words"),
@@ -376,7 +383,7 @@ def redact_pii(
     IPv4 — recall over precision, the usual compliance trade.
     """
     t = F.col(text_col)
-    out = df
+    out = fan_out(df)  # 5 regexp_counts + 5 replaces per row — spread the scan
     red = t
     for fam, (pat, repl) in PII_PATTERNS.items():
         out = out.withColumn(f"n_{fam}", F.regexp_count(t, F.lit(pat)))

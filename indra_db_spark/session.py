@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split size (guide §6). The bench/test inputs are MB-scale
+        # parquet files whose row groups are ~20 MB, and the default 128 MB
+        # split puts a whole multi-row-group file (e.g. the 126 MB sf1.0
+        # lineitem) into ONE task; 16 MB splits let every row group scan in
+        # parallel. On a production cluster reading TB-scale inputs set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g instead (large sequential
+        # scans want fewer, bigger map tasks feeding any shuffle - §2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
