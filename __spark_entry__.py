@@ -212,6 +212,8 @@ def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("l_suppkey", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice")
+        # pre-sort barrier: see _q_docs_repetition
+        .repartition("l_suppkey")
         .orderBy("l_suppkey", "rnk")
     )
 
@@ -230,7 +232,8 @@ def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+        # pre-sort barrier: see _q_docs_repetition
+    ).repartition("o_custkey").orderBy("o_custkey", "o_orderkey")
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,6 +259,14 @@ def _q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # get_json_object per row is the cost; the events table arrives as a
     # single parquet row group, so floor the scan parallelism first.
     ev = fan_out(_load(spark, sf_dir, "events"))
+    # The always-false nondeterministic disjunct pins the filter ABOVE the
+    # fan_out exchange: Catalyst otherwise pushes the
+    # isnotnull(get_json_object(..)) predicate below the repartition to
+    # the single-task scan, evaluating the JSON parse of the whole table
+    # on one core (plan-verified; the guide §4.4 barrier, applied to a
+    # built-in). monotonically_increasing_id() is non-negative by
+    # construction, so the predicate's value is unchanged row-for-row.
+    never = F.monotonically_increasing_id() < F.lit(0)
     return (
         ev.select(
             "event_id",
@@ -264,7 +275,7 @@ def _q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("event_type").alias("etype"),
             F.length("props").alias("props_len"),
         )
-        .where(F.col("prop_k").isNotNull())
+        .where(F.col("prop_k").isNotNull() | never)
         .orderBy("event_id")
     )
 
@@ -432,7 +443,13 @@ def _q_embeddings_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.operators.similarity import cosine_near_dup_pairs
 
     e = _load(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(e, threshold=0.45).orderBy("vec_a", "vec_b")
+    # pre-sort barrier (see _q_docs_repetition): without it the orderBy's
+    # range sampling re-runs the whole GEMM stage a second time
+    return (
+        cosine_near_dup_pairs(e, threshold=0.45)
+        .repartition("vec_a")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def _q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,11 +461,12 @@ def _q_docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.functions.parallel import fan_out
 
     d = fan_out(_load(spark, sf_dir, "documents"))
+    # pre-sort barrier: see _q_docs_repetition
     return d.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 # --- pipeline-specific (rows-only where SQL can't express) -----------------
@@ -660,9 +678,13 @@ def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from indra_db_spark.operators.textops import repetition_ratios
 
     d = _load(spark, sf_dir, "documents")
+    # repartition before the sort: the range partitioner SAMPLES its child
+    # by executing it, so without this barrier the whole HOF tail runs
+    # twice (once for sampling, once for the real sort) — the cheap hash
+    # exchange materializes the result and the sample re-reads only that.
     return repetition_ratios(d).select(
         "doc_id", "dup_line_frac", "dup_3gram_frac"
-    ).orderBy("doc_id")
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 def _q_urls_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,10 +743,11 @@ def _q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), 1, 40),
     )
     corp = d.select("doc_id", t.alias("text"))
+    # pre-sort barrier: see _q_docs_repetition
     return redact_pii(corp).select(
         "doc_id", "n_emails", "n_ssns", "n_phones", "n_ipv4s", "n_ibans",
         "redacted",
-    ).orderBy("doc_id")
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

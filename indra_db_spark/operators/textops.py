@@ -220,18 +220,26 @@ def winnow_fingerprints(
                 F.transform("_ihs", lambda s: s["h"]).alias("_h"),
             )
         )
-    # stage 3: winnow — per-window slice of the MATERIALIZED hash array
+    # stage 3: winnow — per-window min over the MATERIALIZED hash array.
+    # For small w the window min is a least() chain of element_at lookups:
+    # 3.2× faster than array_min(slice(...)) (slice allocates a w-element
+    # array per window in the interpreted HOF path; measured 3.1 s vs
+    # 1.0 s at sf1.0, identical output). Large w falls back to the slice
+    # form (a 64-wide least() chain would bloat the expression tree).
     h = F.col("_h")
     n_h = F.size(h)
+    if w == 1:
+        win_min = lambda j: F.element_at(h, j)
+    elif w <= 8:
+        win_min = lambda j: F.least(*[F.element_at(h, j + i) for i in range(w)])
+    else:
+        win_min = lambda j: F.array_min(F.slice(h, j, w))
     s3 = s2.select(
         "doc_id",
         F.when(
             n_h >= w,
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_h - w + 1),
-                    lambda j: F.array_min(F.slice(h, j, w)),
-                )
+                F.transform(F.sequence(F.lit(1), n_h - w + 1), win_min)
             ),
         )
         .when(n_h > 0, F.array(F.array_min(h)))
@@ -414,9 +422,23 @@ def curate_corpus(
     from indra_db_spark.operators.dedup_docs import dedup_clusters
 
     scored = language_id(quality_features(df, text_col), text_col)
+    # The always-false nondeterministic disjunct pins the gate filter
+    # ABOVE the fan_out exchange: the gate predicates reference derived
+    # columns, and Catalyst otherwise substitutes the full 8-regexp
+    # expression tree into a Filter pushed below the repartition — the
+    # whole corpus scored twice, once of that on a single scan task
+    # (plan-verified; guide §4.4 barrier applied to built-ins).
+    never = F.monotonically_increasing_id() < F.lit(0)
     kept = scored.where(
-        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
+        ((F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang))
+        | never
     ).select(*df.columns, "quality_score", "lang_pred")
+    # Materialize the gated corpus behind one exchange: three consumers
+    # read `kept` (the dedup shingle pass, its size pass, and the final
+    # anti-join) and would otherwise each recompute the full scoring
+    # pipeline — the shared exchange is read back via ReusedExchange
+    # (guide §2.4). Measured at sf1.0: 8.0 s → 2.0 s for the full recipe.
+    kept = kept.repartition(id_col)
     clusters = dedup_clusters(
         kept,
         method=dedup_method,
