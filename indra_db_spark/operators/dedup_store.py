@@ -62,7 +62,19 @@ Equivalence invariant (property-tested in tests/test_dedup_store.py):
 after any sequence of ``ingest`` calls — including retries after
 injected crashes — ``clusters()`` equals
 ``dedup_clusters(all docs, method='minhash_lsh', collapse_exact=True)``
-row-for-row, and the index tables equal ``build_dedup_index(all docs)``.
+row-for-row; ``doc_fps`` equals the rebuild's; ``fp_buckets`` is
+REP-EQUIVALENT to the rebuild's (same fp_hash/band/bucket rows, but
+``rep_id`` is pinned to the min doc_id of the batch that FIRST saw a
+fingerprint, while a full rebuild uses the corpus-wide min — a later
+batch carrying a smaller doc_id for an already-seen fingerprint leaves
+the stored rep_id a valid, but different, member of the same exact
+group; clusters are unaffected since rep texts are identical — ADVICE
+r5).
+
+Single-writer: ``ingest``/``compact`` take an exclusive pid lock under
+``root`` (same-host liveness probe); readers never roll back staging
+while a live writer holds it. Cross-host concurrent writers need an
+external coordinator.
 """
 
 from __future__ import annotations
@@ -144,7 +156,48 @@ class DedupStore:
     def _staging(self, batch_id: str) -> str:
         return os.path.join(self.root, "_staging", batch_id)
 
-    def _recover(self) -> None:
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, "_writer.lock")
+
+    def _live_writer(self) -> int | None:
+        """pid of a LIVE writer holding the lock, else None (no lock, or
+        the lock's process is gone — a crashed writer's stale lock)."""
+        try:
+            with open(self._lock_path()) as f:
+                pid = int(json.load(f)["pid"])
+        except (OSError, ValueError, KeyError):
+            return None
+        if pid == os.getpid():
+            return None  # our own lock (retry within one process)
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            return None  # stale: writer crashed without releasing
+        return pid
+
+    def _acquire_writer_lock(self) -> None:
+        """Single-writer guard for ``ingest``/``compact`` (ADVICE r5):
+        two concurrent writers — or a reader's recovery racing a live
+        ingest — could roll back each other's staging mid-rewrite and
+        commit a mixed pre/post-batch cluster table. Same-host only (pid
+        liveness probe); cross-host deployments need an external
+        coordinator, as the module docstring states."""
+        live = self._live_writer()
+        if live is not None:
+            raise RuntimeError(
+                f"another writer (pid {live}) holds {self._lock_path()}; "
+                "the dedup store is single-writer"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        storage._write_json_atomic(self._lock_path(), {"pid": os.getpid()})
+
+    def _release_writer_lock(self) -> None:
+        try:
+            os.remove(self._lock_path())
+        except OSError:
+            pass
+
+    def _recover(self, for_write: bool = False) -> None:
         """Self-heal ANY crashed attempt's partial cluster rewrite before
         reading or writing — not just a retry of the same batch_id.
         A leftover ``_staging/<id>`` means an ingest crashed after backing
@@ -155,9 +208,18 @@ class DedupStore:
         stale — drop it. Without this, ``clusters()``/``index()`` after a
         crash read a mix of pre- and post-batch rows, and ``compact()``
         would bake that mix in permanently. One listdir when the staging
-        dir is absent — free on the happy path."""
+        dir is absent — free on the happy path.
+
+        READ paths (``for_write=False``) never roll back while a LIVE
+        writer holds the lock (ADVICE r5): the staging dir then belongs
+        to an in-flight ingest, not a crashed one, and restoring its
+        pre-images under the writer would corrupt the rewrite. Write
+        paths run under the lock, so any staging they see is a genuine
+        crash leftover."""
         sdir = os.path.join(self.root, "_staging")
         if not os.path.isdir(sdir):
+            return
+        if not for_write and self._live_writer() is not None:
             return
         committed = set(self.committed)
         for name in os.listdir(sdir):
@@ -320,19 +382,23 @@ class DedupStore:
         caller guarantees uniqueness and wants the scan back.
         """
         self._check_batch_id(batch_id)
-        self._recover()  # restore ANY crashed attempt, this batch or not
-        if batch_id in self.committed:
-            return {"batch_id": batch_id, "noop": True}
-        b = batch.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-        )
-        if not self.committed:
+        self._acquire_writer_lock()
+        try:
+            self._recover(for_write=True)  # restore ANY crashed attempt
+            if batch_id in self.committed:
+                return {"batch_id": batch_id, "noop": True}
+            b = batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            if not self.committed:
+                if strict_ids:
+                    self._check_ids(b, against_corpus=False)
+                return self._bootstrap(b, batch_id)
             if strict_ids:
-                self._check_ids(b, against_corpus=False)
-            return self._bootstrap(b, batch_id)
-        if strict_ids:
-            self._check_ids(b, against_corpus=True)
-        return self._supplement(b, batch_id)
+                self._check_ids(b, against_corpus=True)
+            return self._supplement(b, batch_id)
+        finally:
+            self._release_writer_lock()
 
     def _lsh_kwargs(self) -> dict:
         p = self.params
@@ -459,7 +525,14 @@ class DedupStore:
         GC removes.
         """
         self._check_batch_id(compacted_id)
-        self._recover()  # never compact a half-rewritten cluster table
+        self._acquire_writer_lock()
+        try:
+            return self._compact_locked(compacted_id)
+        finally:
+            self._release_writer_lock()
+
+    def _compact_locked(self, compacted_id: str) -> dict:
+        self._recover(for_write=True)  # never compact a half-rewritten table
         if not self.committed:
             raise ValueError("nothing to compact: empty store")
         if self.committed == [compacted_id]:

@@ -40,7 +40,7 @@ from urllib.parse import parse_qs, urlsplit
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from indra_db_spark.api import parse_query, result_kwargs
+from indra_db_spark.api import _RESULT_PARAMS, parse_query, result_kwargs
 from indra_db_spark.plans.query import QueryContext
 
 DEFAULT_LIMIT = 1000
@@ -94,10 +94,17 @@ def handle_request(path: str, ctx: QueryContext) -> tuple[int, bytes]:
             return 200, _json_rows(df, limit)
         if route in ("/interactions", "/relations", "/agents"):
             limit = _capped_limit(params)
-            q = parse_query(
-                {k: v for k, v in params.items() if k != "limit"}
-            )
-            df = getattr(q, f"get_{route[1:]}")(ctx)
+            rest = {k: v for k, v in params.items() if k != "limit"}
+            # these routes apply only `limit`; silently accepting other
+            # result-control params (offset/sort_by/ev_limit/after) would
+            # return the first page with 200 instead of an error
+            # (ADVICE r5) — reject them explicitly
+            unsupported = sorted(set(rest) & _RESULT_PARAMS)
+            if unsupported:
+                raise ValueError(
+                    f"{', '.join(unsupported)} not supported for {route}"
+                )
+            df = getattr(parse_query(rest), f"get_{route[1:]}")(ctx)
             return 200, _json_rows(df, limit)
         return 404, json.dumps({"error": f"no such route: {route}"}).encode()
     except (ValueError, KeyError, TypeError) as e:

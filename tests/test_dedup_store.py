@@ -305,3 +305,48 @@ def test_readers_and_compact_self_heal_after_crash(spark, tmp_path, monkeypatch)
     # the batch retried after compaction still converges to the rebuild
     st.ingest(b1, "b1")
     assert _clusters(st.clusters()) == _full(old.unionByName(b1), T)
+
+
+def test_writer_lock_blocks_second_writer_and_reader_rollback(
+    spark, tmp_path
+):
+    """ADVICE r5 (medium): a second writer must be refused while a live
+    writer holds the lock, and a READER must not roll back the live
+    writer's staging (it used to treat any staging as a crashed attempt
+    and restore pre-images under the in-flight ingest)."""
+    import json as _json
+    import subprocess
+
+    st = _store(spark, tmp_path)
+    st.ingest(_docs(spark, corpus_rows()), "base")
+
+    # simulate a live foreign writer: pid 1 always exists and is not us
+    lock = os.path.join(st.root, "_writer.lock")
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1}, f)
+    staging = os.path.join(st.root, "_staging", "inflight")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "marker"), "w") as f:
+        f.write("x")
+
+    # reader must NOT touch the live writer's staging
+    st.docs().count()
+    assert os.path.exists(os.path.join(staging, "marker"))
+
+    # second writer must be refused outright
+    with pytest.raises(RuntimeError, match="another writer"):
+        st.ingest(_docs(spark, batch_rows()), "b1")
+    assert os.path.exists(lock)  # the foreign lock was not clobbered
+
+    # stale lock (dead pid): writer proceeds, recovery resumes
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w") as f:
+        _json.dump({"pid": p.pid}, f)
+    st.ingest(_docs(spark, batch_rows()), "b1")
+    corpus = _docs(spark, corpus_rows()).unionByName(_docs(spark, batch_rows()))
+    assert _clusters(st.clusters()) == _full(corpus, T)
+    # staging from the (dead) "crashed attempt" was recovered away, and
+    # the stale lock was replaced then released
+    assert not os.path.exists(staging)
+    assert not os.path.exists(lock)

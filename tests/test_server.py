@@ -119,3 +119,17 @@ def test_handler_limit_caps(ctx):
     assert code == 400 and b"limit" in body
     code, body = handle_request("/agents?agent=TP53&limit=1", ctx)
     assert code == 200 and len(json.loads(body)) <= 1
+
+
+def test_non_statement_routes_reject_result_params(ctx):
+    """ADVICE r5 (low): /interactions, /relations and /agents apply only
+    `limit`; other result-control params used to be silently ignored
+    (offset=100 returned the first page with 200). They must 400."""
+    for route in ("interactions", "relations", "agents"):
+        code, body = handle_request(f"/{route}?agent=TP53&offset=100", ctx)
+        assert code == 400 and b"offset" in body, (route, code, body)
+    code, body = handle_request("/interactions?agent=TP53&ev_limit=2", ctx)
+    assert code == 400 and b"ev_limit" in body
+    # limit itself still works
+    code, body = handle_request("/interactions?agent=TP53&limit=1", ctx)
+    assert code == 200
