@@ -51,12 +51,22 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def _shingle_array(text_col: str, k: int):
-    """Distinct word-k-gram array expression over ``_words``."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_words")) - k),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, k)),
+    """Distinct word-k-gram array expression over ``_words``.
+
+    For small k each gram is a concat_ws over ``element_at`` lookups
+    instead of ``concat_ws(slice(...))`` — the slice allocates a k-element
+    array per gram in the interpreted HOF path (measured 1.8 s vs 1.0 s
+    for the shingle stage at sf1.0, identical output — the same finding
+    as winnow_fingerprints' window min)."""
+    w = F.col("_words")
+    if k <= 8:
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(k)]
         )
+    else:
+        gram = lambda i: F.concat_ws(" ", F.slice(w, i + 1, k))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(w) - k), gram)
     )
 
 
@@ -201,7 +211,22 @@ def jaccard_pairs(
         aa, bb, na, nb = (
             np.concatenate([c[i] for c in chunks]) for i in range(4)
         )
-        order = np.lexsort((bb, aa))
+        # adaptive sort key: when both ids fit in uint32 (the common case
+        # for dense doc ids), one argsort of a packed uint64 is ~2× a
+        # two-array lexsort; arbitrary int64 ids take the general path.
+        # Run order within a pair is irrelevant (n_a/n_b are constant per
+        # doc), so a non-stable sort is fine.
+        if (
+            aa.size
+            and aa.min() >= 0
+            and bb.min() >= 0
+            and aa.max() < 2**31
+            and bb.max() < 2**31
+        ):
+            key = (aa.astype(np.uint64) << np.uint64(32)) | bb.astype(np.uint64)
+            order = np.argsort(key)
+        else:
+            order = np.lexsort((bb, aa))
         aa = aa[order]
         bb = bb[order]
         change = np.empty(aa.shape[0], dtype=bool)
