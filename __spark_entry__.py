@@ -111,7 +111,15 @@ def _q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-family: 5-way star equi-join with small-dim broadcasts."""
-    li = _load(spark, sf_dir, "lineitem")
+    from indra_db_spark.functions.parallel import fan_out
+
+    # project the fact side to the three used columns and floor its scan
+    # parallelism (the 6-row-group file caps the probe stage at 6 tasks)
+    li = fan_out(
+        _load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+    )
     o = _load(spark, sf_dir, "orders")
     c = _load(spark, sf_dir, "customer")
     n = _load(spark, sf_dir, "nation")
