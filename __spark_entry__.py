@@ -284,6 +284,10 @@ def _q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("props").alias("props_len"),
         )
         .where(F.col("prop_k").isNotNull() | never)
+        # pre-sort barrier (see _q_docs_repetition): the range partitioner
+        # samples its child by executing it — without this the JSON parse
+        # of the whole table runs twice (sampling pass + real sort).
+        .repartition("event_id")
         .orderBy("event_id")
     )
 
@@ -327,6 +331,9 @@ def _q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_tokens", "punct_ratio", "upper_ratio",
             "stopword_ratio", "quality_score",
         )
+        # pre-sort barrier (see _q_docs_repetition): without it the range
+        # sampler re-runs the whole regexp feature projection a 2nd time.
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

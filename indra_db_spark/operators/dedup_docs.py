@@ -186,6 +186,19 @@ def jaccard_pairs(
     pair_rows = (
         a.join(b.hint("shuffle_hash"), "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
+        # size-ratio prune (guide §3.4 — pre-filter the big side): J(A,B)
+        # = c/(n_a+n_b-c) with c ≤ min(n_a,n_b), so J can only reach the
+        # threshold when min ≥ t·max. Evaluated at join-probe time this
+        # drops every occurrence of a hopeless pair BEFORE the pair
+        # shuffle (the query's largest exchange). Exact: the bound is a
+        # necessary condition on (n_a, n_b) alone — constant per pair —
+        # and the 1e-6 slack is strictly wider than the 5e-7 a 6-decimal
+        # round can lift the final quotient, so no pair that could pass
+        # the exact rounded filter below is ever dropped.
+        .where(
+            F.least("n_a", "n_b")
+            >= (F.lit(threshold) - F.lit(1e-6)) * F.greatest("n_a", "n_b")
+        )
         .select("doc_a", "doc_b", "n_a", "n_b")
         .repartition("doc_a", "doc_b")
     )
