@@ -45,28 +45,28 @@ def build_pa_statements(raw: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
     rep_struct = F.struct(
         "raw_id", "matches_key", "type", "subj", "obj", "mods"
     )
-    # Stage 1: per (mk_hash, salt) partial min + count.
-    s1 = salted.groupBy("mk_hash", "_salt").agg(
+    # ONE aggregation cascade carries rep, ev_count AND the per-source
+    # map — the per-source path used to be its own two-groupBy branch
+    # joined back on mk_hash, i.e. 4 exchanges + a join; folding it into
+    # the salted cascade is 3 exchanges and no join, with identical
+    # values (min/count are associative under any re-grouping). Skew
+    # armor is unchanged: stage 1 still salts the raw grain (the only
+    # hot fan-in), stages 2–3 see ≤ n_salts rows per (key, source) and
+    # ≤ |sources| rows per key.
+    s1 = salted.groupBy("mk_hash", "_salt", "source").agg(
         F.min(rep_struct).alias("_rep"),
         F.count(F.lit(1)).alias("_cnt"),
     )
-    # Stage 2: merge per mk_hash.
-    pa = s1.groupBy("mk_hash").agg(
+    s2 = s1.groupBy("mk_hash", "source").agg(
         F.min("_rep").alias("_rep"),
-        F.sum("_cnt").alias("ev_count"),
+        F.sum("_cnt").alias("n"),
     )
-
-    # Per-source counts: (mk_hash, source) grain already diffuses a hot
-    # mk_hash across sources; the map per hash is ≤ |sources| entries.
-    src = (
-        raw.groupBy("mk_hash", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("mk_hash")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("source", "n")))
-            ).alias("src_counts")
-        )
+    pa = s2.groupBy("mk_hash").agg(
+        F.min("_rep").alias("_rep"),
+        F.sum("n").alias("ev_count"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("source", "n")))
+        ).alias("src_counts"),
     )
 
     rep = F.col("_rep")
@@ -82,8 +82,7 @@ def build_pa_statements(raw: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFra
     )
     agent_key = lambda a: F.concat_ws(":", a["db_ns"], a["db_id"])
     return (
-        pa.join(src, "mk_hash")
-        .select(
+        pa.select(
             "mk_hash",
             rep["matches_key"].alias("matches_key"),
             rep["type"].alias("type"),
