@@ -296,40 +296,65 @@ def minhash_signatures(
     then a single groupBy computing all k mins (no k-fold data blowup).
 
     ``hash_fn='md5'`` switches to h_i(s) = fold_md5_64(i || '|' || s) —
-    slower, but exactly mirrorable in other engines (the DuckDB oracle)."""
-    # Per-ROW computation, no explode and no shuffle: the k minima are
-    # array_min over the doc's own distinct-shingle array, which is
-    # exactly min over the exploded (doc, shingle) rows the old
-    # explode→groupBy formulation aggregated (ids are unique per the
-    # word_shingles precondition, so per-row == per-group). Staging
-    # ``_hs`` in its OWN select matters: transform() is expensive, so
-    # CollapseProject declines to inline it into the k consumers
-    # (SPARK-36718) and each row hashes its shingles once, not k times.
-    words = F.split(_norm_text(text_col), " ")
-    staged = (
-        fan_out(df.select(id_col, text_col))
-        .select(F.col(id_col).alias("doc_id"), words.alias("_words"))
-        .where(F.size(F.col("_words")) >= k)
-    )
-    if hash_fn == "xxhash64":
-        # hash the shingle STRING once, then derive the k family members
-        # from the 8-byte value — k× cheaper than re-hashing the string
-        hs = F.transform(_shingle_array(text_col, k), lambda s: F.xxhash64(s))
-        h = lambda i: F.array_min(
-            F.transform(F.col("_hs"), lambda v: F.xxhash64(F.lit(i), v))
-        )
-    elif hash_fn == "md5":
-        hs = _shingle_array(text_col, k)
-        h = lambda i: F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda s: fold_md5_64(F.concat_ws("|", F.lit(str(i)), s)),
-            )
-        )
-    else:
+    slower, but exactly mirrorable in other engines (the DuckDB oracle).
+
+    Two physically different but value-identical plans, chosen on
+    ``num_hashes`` (measured crossover on a 50k-doc corpus, 3 reps):
+
+    * **per-row** (num_hashes ≤ 32): each minimum is array_min over the
+      doc's own distinct-shingle array — no generator, no hash aggregate,
+      no shuffle, so the banded self-join's sides lose two exchanges
+      each (1.74 → 1.39 s at 16 hashes). Identical to min over the
+      exploded rows because ids are unique (word_shingles precondition).
+    * **explode→groupBy** (num_hashes > 32): the per-row form pays one
+      interpreted array traversal PER family member while the exchange
+      savings stay constant, so wide signature families flip (128
+      hashes: 1.8 s explode vs 2.0–2.3 s per-row) — the incremental
+      dedup path's 128/16 default stays on the aggregate plan.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return staged.select("doc_id", hs.alias("_hs")).select(
-        "doc_id", F.array(*[h(i) for i in range(num_hashes)]).alias("sig")
+    if num_hashes <= 32:
+        # Staging ``_hs`` in its OWN select matters: transform() is
+        # expensive, so CollapseProject declines to inline it into the k
+        # consumers (SPARK-36718) and each row hashes its shingles once,
+        # not k times.
+        words = F.split(_norm_text(text_col), " ")
+        staged = (
+            fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col).alias("doc_id"), words.alias("_words"))
+            .where(F.size(F.col("_words")) >= k)
+        )
+        if hash_fn == "xxhash64":
+            # hash the shingle STRING once, then derive the k family
+            # members from the 8-byte value — k× cheaper than re-hashing
+            hs = F.transform(_shingle_array(text_col, k), lambda s: F.xxhash64(s))
+            h = lambda i: F.array_min(
+                F.transform(F.col("_hs"), lambda v: F.xxhash64(F.lit(i), v))
+            )
+        else:
+            hs = _shingle_array(text_col, k)
+            h = lambda i: F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    lambda s: fold_md5_64(F.concat_ws("|", F.lit(str(i)), s)),
+                )
+            )
+        return staged.select("doc_id", hs.alias("_hs")).select(
+            "doc_id", F.array(*[h(i) for i in range(num_hashes)]).alias("sig")
+        )
+    sh = word_shingles(df, id_col, text_col, k)
+    if hash_fn == "xxhash64":
+        sh = sh.withColumn("_sh_h", F.xxhash64("shingle"))
+        h = lambda i: F.xxhash64(F.lit(i), F.col("_sh_h"))
+    else:
+        h = lambda i: fold_md5_64(
+            F.concat_ws("|", F.lit(str(i)), F.col("shingle"))
+        )
+    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 

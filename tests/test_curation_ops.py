@@ -71,6 +71,23 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 4) not in cands
 
 
+def test_minhash_perrow_equals_explode_path(spark, docs):
+    # minhash_signatures picks a per-row plan for num_hashes <= 32 and the
+    # explode+groupBy plan above; the hash family h_i is prefix-stable, so
+    # the 32-hash (per-row) signature must equal the first 32 entries of
+    # the 40-hash (explode) signature for every doc and both families.
+    for fn in ("xxhash64", "md5"):
+        a = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(docs, num_hashes=32, hash_fn=fn).collect()
+        }
+        b = {
+            r["doc_id"]: r["sig"][:32]
+            for r in minhash_signatures(docs, num_hashes=40, hash_fn=fn).collect()
+        }
+        assert a == b
+
+
 def test_simhash_identical_and_near(spark, docs):
     s = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
     assert s[1] == s[2] == s[6]
