@@ -199,7 +199,16 @@ def jaccard_pairs(
             F.least("n_a", "n_b")
             >= (F.lit(threshold) - F.lit(1e-6)) * F.greatest("n_a", "n_b")
         )
-        .select("doc_a", "doc_b", "n_a", "n_b")
+        # pack both sizes into ONE long for the pair shuffle (3 instead
+        # of 4 columns per row): structurally safe — a shingle count is
+        # bounded by the doc's word count, itself < 2³¹ by Spark's 2 GB
+        # string limit, so each size fits a 32-bit lane. Unpacked inside
+        # the RLE counter.
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.shiftleft(F.col("n_a"), 32) + F.col("n_b")).alias("_nn"),
+        )
         .repartition("doc_a", "doc_b")
     )
 
@@ -217,13 +226,18 @@ def jaccard_pairs(
         chunks: list = []
         for batch in batches:
             chunks.append(
-                [batch.column(i).to_numpy(zero_copy_only=False) for i in range(4)]
+                [batch.column(i).to_numpy(zero_copy_only=False) for i in range(3)]
             )
         if not chunks:
             return
-        aa, bb, na, nb = (
-            np.concatenate([c[i] for c in chunks]) for i in range(4)
+        aa, bb, nn = (
+            np.concatenate([c[i] for c in chunks]) for i in range(3)
         )
+        # unpack the 32-bit size lanes (both positive < 2³¹, so the sign
+        # bit is never set and the uint64 view is exact)
+        u = nn.view(np.uint64) if nn.dtype == np.int64 else nn.astype(np.uint64)
+        na = (u >> np.uint64(32)).astype(np.int64)
+        nb = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
         # adaptive sort key: when both ids fit in uint32 (the common case
         # for dense doc ids), one argsort of a packed uint64 is ~2× a
         # two-array lexsort; arbitrary int64 ids take the general path.
